@@ -1,0 +1,168 @@
+"""SE(3)/SO(3) math, JAX-native and batched.
+
+Capability parity with the reference's numpy/torch helpers
+(`datasets/math/se3.py`, `datasets/math_torch/se3.py`,
+`utils/open3d_func.py:85-131`), redesigned as pure jittable functions over
+`[..., 4, 4]` transforms and `[..., n, 3]` point arrays (row-vector points,
+TPU-friendly trailing contraction dims).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_HI = jax.lax.Precision.HIGHEST  # small SE(3) contractions need full fp32
+
+
+def hat(w: Array) -> Array:
+    """Skew-symmetric matrix of w: [..., 3] -> [..., 3, 3]."""
+    zeros = jnp.zeros_like(w[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -w[..., 2], w[..., 1]], axis=-1),
+            jnp.stack([w[..., 2], zeros, -w[..., 0]], axis=-1),
+            jnp.stack([-w[..., 1], w[..., 0], zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def exp_so3(w: Array) -> Array:
+    """Rodrigues: axis-angle [..., 3] -> rotation matrix [..., 3, 3]."""
+    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]  # [...,1,1]
+    safe = jnp.maximum(theta, 1e-12)
+    k = hat(w / jnp.squeeze(safe, -1))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), k.shape)
+    rot = eye + jnp.sin(theta) * k + (1.0 - jnp.cos(theta)) * jnp.matmul(k, k, precision=_HI)
+    return jnp.where(theta < 1e-8, eye, rot)
+
+
+def log_so3(rot: Array) -> Array:
+    """Rotation matrix [..., 3, 3] -> axis-angle [..., 3]."""
+    tr = jnp.trace(rot, axis1=-2, axis2=-1)
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(cos)
+    vee = jnp.stack(
+        [
+            rot[..., 2, 1] - rot[..., 1, 2],
+            rot[..., 0, 2] - rot[..., 2, 0],
+            rot[..., 1, 0] - rot[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin = jnp.sin(theta)
+    scale = jnp.where(jnp.abs(sin) < 1e-8, 0.5, theta / (2.0 * jnp.maximum(jnp.abs(sin), 1e-12)))
+    return vee * scale[..., None]
+
+
+def make_se3(rot: Array, t: Array) -> Array:
+    """[..., 3, 3], [..., 3] -> [..., 4, 4]."""
+    batch = jnp.broadcast_shapes(rot.shape[:-2], t.shape[:-1])
+    rot = jnp.broadcast_to(rot, batch + (3, 3))
+    t = jnp.broadcast_to(t, batch + (3,))
+    top = jnp.concatenate([rot, t[..., :, None]], axis=-1)  # [..., 3, 4]
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=rot.dtype), batch + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def rot_of(transform: Array) -> Array:
+    return transform[..., :3, :3]
+
+
+def trans_of(transform: Array) -> Array:
+    return transform[..., :3, 3]
+
+
+def inverse(transform: Array) -> Array:
+    """Inverse of an SE(3) transform [..., 4, 4] (ref: datasets/math/se3.py inverse)."""
+    rot = rot_of(transform)
+    t = trans_of(transform)
+    rot_inv = jnp.swapaxes(rot, -1, -2)
+    t_inv = -jnp.einsum("...ij,...j->...i", rot_inv, t, precision=_HI)
+    return make_se3(rot_inv, t_inv)
+
+
+def concatenate(a: Array, b: Array) -> Array:
+    """Composition a @ b on [..., 4, 4] (ref: datasets/math/se3.py concatenate)."""
+    return jnp.matmul(a, b, precision=_HI)
+
+
+def transform_points(transform: Array, points: Array, with_translate: bool = True) -> Array:
+    """Apply [..., 4, 4] to row-vector points [..., n, 3].
+
+    Ref semantics: `utils/open3d_func.py:104-131` apply_transform_*.
+    """
+    rot = rot_of(transform)
+    out = jnp.einsum("...ij,...nj->...ni", rot, points, precision=_HI)
+    if with_translate:
+        out = out + trans_of(transform)[..., None, :]
+    return out
+
+
+def random_rotation(key: Array, max_degree: float = 360.0, max_amp: float = 3.0,
+                    dtype=jnp.float32) -> Array:
+    """Random SE(3): uniform axis, uniform angle in [0, max_degree], uniform
+    translation direction with amplitude in [0, max_amp].
+
+    Ref semantics: `utils/open3d_func.py:85-102` (axis & direction drawn from
+    U[0,1)^3 then normalized — reproduced faithfully; note this is *not*
+    uniform over SO(3), matching the reference's training distribution).
+    Returns transform [4, 4].
+    """
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.uniform(k1, (6,), dtype=dtype)
+    degree = jax.random.uniform(k2, (), dtype=dtype) * max_degree * jnp.pi / 180.0
+    amp = jax.random.uniform(k3, (), dtype=dtype) * max_amp
+    w = x[:3]
+    v = x[3:]
+    w = w / jnp.maximum(jnp.linalg.norm(w), 1e-12) * degree
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12) * amp
+    return make_se3(exp_so3(w), v)
+
+
+def random_so3(key: Array, dtype=jnp.float32) -> Array:
+    """Uniform random rotation matrix [3, 3] (via normalized quaternion)."""
+    q = jax.random.normal(key, (4,), dtype=dtype)
+    q = q / jnp.linalg.norm(q)
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        dtype=dtype,
+    )
+
+
+def uniform_2_sphere(key: Array, dtype=jnp.float32) -> Array:
+    """Uniform point on the unit 2-sphere (ref: datasets/math/random.py:5-30)."""
+    k1, k2 = jax.random.split(key)
+    phi = jax.random.uniform(k1, (), dtype=dtype, minval=0.0, maxval=2 * jnp.pi)
+    cos_theta = jax.random.uniform(k2, (), dtype=dtype, minval=-1.0, maxval=1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta**2, 0.0))
+    return jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta])
+
+
+def rotation_error_deg(gt_rot: Array, est_rot: Array) -> Array:
+    """RRE in degrees: acos((tr(RgᵀRe)-1)/2) (ref: deepgmr_mn40.py:152-164)."""
+    cos = (jnp.trace(jnp.matmul(jnp.swapaxes(gt_rot, -1, -2), est_rot, precision=_HI), axis1=-2, axis2=-1) - 1.0) / 2.0
+    cos = jnp.clip(cos, -1.0, 1.0)
+    return jnp.degrees(jnp.abs(jnp.arccos(cos)))
+
+
+def translation_error(gt_t: Array, est_t: Array) -> Array:
+    """RTE: ||t_gt - t_est|| (ref: deepgmr_mn40.py:163)."""
+    return jnp.linalg.norm(gt_t - est_t, axis=-1)
+
+
+def registration_rmse(points: Array, gt_transform: Array, est_transform: Array) -> Array:
+    """Mean point distance between gt- and est-transformed clouds
+    (ref: deepgmr_mn40.py:123-126)."""
+    a = transform_points(est_transform, points)
+    b = transform_points(gt_transform, points)
+    return jnp.mean(jnp.linalg.norm(a - b, axis=-1), axis=-1)

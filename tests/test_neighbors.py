@@ -1,0 +1,96 @@
+import jax.numpy as jnp
+import numpy as np
+
+from rift_tpu.ops.neighbors import (
+    ball_query,
+    grouping,
+    knn,
+    mutual_nearest_neighbors,
+    pairwise_sqdist,
+    three_nn_interpolate,
+)
+
+
+def test_pairwise_sqdist_matches_numpy(rng):
+    a = rng.randn(2, 20, 3).astype(np.float32)
+    b = rng.randn(2, 30, 3).astype(np.float32)
+    got = np.asarray(pairwise_sqdist(jnp.asarray(a), jnp.asarray(b)))
+    want = np.sum((a[:, :, None, :] - b[:, None, :, :]) ** 2, axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_knn_matches_numpy(rng):
+    q = rng.randn(50, 3).astype(np.float32)
+    p = rng.randn(80, 3).astype(np.float32)
+    d, idx = knn(jnp.asarray(q), jnp.asarray(p), 5)
+    full = np.sum((q[:, None, :] - p[None, :, :]) ** 2, axis=-1)
+    want_idx = np.argsort(full, axis=-1)[:, :5]
+    np.testing.assert_allclose(np.sort(np.asarray(d), -1), np.sort(np.take_along_axis(full, want_idx, -1), -1), atol=1e-4)
+    # distances determine the set; indices may tie-break differently
+    got_d = np.take_along_axis(full, np.asarray(idx), axis=-1)
+    np.testing.assert_allclose(got_d, np.take_along_axis(full, want_idx, -1), atol=1e-4)
+
+
+def ball_query_oracle(centers, points, radius, u):
+    """Numpy transcription of ball_query.cu:19-50."""
+    m, n = centers.shape[0], points.shape[0]
+    out = -np.ones((m, u), np.int64)
+    for j in range(m):
+        cnt = 0
+        for k in range(n):
+            d2 = np.sum((centers[j] - points[k]) ** 2)
+            if d2 < radius**2 and d2 > 1e-5:
+                if cnt == 0:
+                    out[j, :] = k
+                out[j, cnt] = k
+                cnt += 1
+                if cnt >= u:
+                    break
+    return out
+
+
+def test_ball_query_matches_cuda_oracle(rng):
+    m, n, u = 40, 100, 8
+    pts = rng.rand(n, 3).astype(np.float32)
+    ctr = pts[:m]  # centers are points themselves (self-excluded)
+    got = np.asarray(ball_query(jnp.asarray(ctr), jnp.asarray(pts), 0.3, u))
+    want = ball_query_oracle(ctr, pts, 0.3, u)
+    rows = np.all(want >= 0, axis=-1) | (want[:, 0] >= 0)
+    np.testing.assert_array_equal(got[rows], want[rows])
+
+
+def test_grouping(rng):
+    feat = rng.randn(2, 10, 4).astype(np.float32)
+    idx = rng.randint(0, 10, (2, 5, 3))
+    out = np.asarray(grouping(jnp.asarray(feat), jnp.asarray(idx)))
+    for b in range(2):
+        for i in range(5):
+            for j in range(3):
+                np.testing.assert_allclose(out[b, i, j], feat[b, idx[b, i, j]])
+
+
+def test_three_nn_interpolate_exact_on_coincident_points(rng):
+    src = rng.randn(20, 3).astype(np.float32)
+    feats = rng.randn(20, 6).astype(np.float32)
+    out = np.asarray(
+        three_nn_interpolate(jnp.asarray(src), jnp.asarray(src), jnp.asarray(feats))
+    )
+    np.testing.assert_allclose(out, feats, atol=1e-4)
+
+
+def test_mutual_nn_matches_numpy_oracle(rng):
+    f1 = rng.randn(30, 8).astype(np.float32)
+    f2 = rng.randn(25, 8).astype(np.float32)
+    idx1, idx2, mask = mutual_nearest_neighbors(jnp.asarray(f1), jnp.asarray(f2))
+    # Oracle: deepgmr_mn40.py:232-244
+    diff = (
+        np.sum(f1**2, 1, keepdims=True)
+        + np.sum(f2**2, 1, keepdims=True).T
+        - 2 * f1 @ f2.T
+    )
+    c12 = np.argmin(diff, axis=1)
+    c21 = np.argmin(diff, axis=0)
+    want_mask = c21[c12] == np.arange(30)
+    np.testing.assert_array_equal(np.asarray(mask), want_mask)
+    np.testing.assert_array_equal(np.asarray(idx2), c12)
+    np.testing.assert_array_equal(np.asarray(idx1), np.arange(30))

@@ -1,0 +1,59 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rift_tpu.ops.normals import estimate_normals
+from rift_tpu.ops.sampling import furthest_point_sample, gather, random_choice
+
+
+def fps_oracle(pts, m, start=0):
+    n = pts.shape[0]
+    min_d2 = np.full(n, np.inf)
+    idx = np.zeros(m, np.int64)
+    last = start
+    for i in range(m):
+        idx[i] = last
+        d2 = np.sum((pts - pts[last]) ** 2, axis=1)
+        min_d2 = np.minimum(min_d2, d2)
+        last = int(np.argmax(min_d2))
+    return idx
+
+
+def test_fps_matches_oracle(rng):
+    pts = rng.randn(100, 3).astype(np.float32)
+    got = np.asarray(furthest_point_sample(jnp.asarray(pts), 10))
+    want = fps_oracle(pts, 10)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_batched(rng):
+    pts = rng.randn(3, 50, 3).astype(np.float32)
+    got = np.asarray(furthest_point_sample(jnp.asarray(pts), 8, start_idx=2))
+    for b in range(3):
+        np.testing.assert_array_equal(got[b], fps_oracle(pts[b], 8, start=2))
+
+
+def test_gather(rng):
+    feat = rng.randn(2, 10, 4).astype(np.float32)
+    idx = rng.randint(0, 10, (2, 6))
+    out = np.asarray(gather(jnp.asarray(feat), jnp.asarray(idx)))
+    for b in range(2):
+        np.testing.assert_allclose(out[b], feat[b, idx[b]])
+
+
+def test_random_choice_shapes():
+    key = jax.random.PRNGKey(0)
+    a = np.asarray(random_choice(key, 100, 30))
+    assert len(set(a.tolist())) == 30  # without replacement
+    b = np.asarray(random_choice(key, 10, 30))
+    assert b.shape == (30,) and b.max() < 10
+
+
+def test_estimate_normals_on_plane(rng):
+    # Points on the z=0.5 plane; normals must be ±z, oriented towards origin
+    xy = rng.rand(200, 2).astype(np.float32) * 0.5
+    pts = np.concatenate([xy, np.full((200, 1), 0.5, np.float32)], axis=1)
+    normals = np.asarray(estimate_normals(jnp.asarray(pts[None]), radius=0.2))[0]
+    np.testing.assert_allclose(np.abs(normals[:, 2]), 1.0, atol=1e-3)
+    # camera at origin is below the plane -> normals point to -z... towards origin
+    assert np.all(normals[:, 2] < 0)

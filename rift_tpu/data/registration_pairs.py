@@ -1,0 +1,127 @@
+"""Registration pair datasets: DeepGMR h5 test sets + on-the-fly synthesis.
+
+Parity targets:
+- `datasets/deepgmr_mn40.py:43-69` TestData: h5 {source, target, transform},
+  per-pair normal estimation, first-n crop. (The reference pins index=190,
+  a debug leftover — not replicated.) Normals here come from the on-device
+  KNN-PCA estimator (ops/normals.py) in one batched call, not per-pair
+  Open3D KD-trees.
+- `datasets/modelnet40_registration.py` / `datasets/deepgmr_partial.py`:
+  synthesized pairs — random SE(3) (max_degree/max_amp), optional 2.5-D
+  z-buffer crop, per-cloud independent resampling, clipped Gaussian noise.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Iterator
+
+import numpy as np
+
+from . import synthetic
+from .transforms import jitter, randchoice, random_rotation, zbuffer_crop
+
+
+@dataclass
+class PairBatch:
+    source: np.ndarray      # [b, n, 3]
+    target: np.ndarray      # [b, n, 3]
+    transform: np.ndarray   # [b, 4, 4] ground truth source -> target
+
+
+class H5TestPairs:
+    """DeepGMR-format h5 file: datasets['source'|'target'|'transform']."""
+
+    def __init__(self, path: str, num_points: int = 1024):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            self.source = f["source"][...].astype(np.float32)
+            self.target = f["target"][...].astype(np.float32)
+            self.transform = f["transform"][...].astype(np.float32)
+        self.num_points = num_points
+
+    def __len__(self) -> int:
+        return self.transform.shape[0]
+
+    def __getitem__(self, index: int):
+        n = self.num_points
+        return (self.source[index][:n], self.target[index][:n],
+                self.transform[index])
+
+    def batches(self, batch_size: int = 1) -> Iterator[PairBatch]:
+        for start in range(0, len(self), batch_size):
+            idx = range(start, min(start + batch_size, len(self)))
+            items = [self[i] for i in idx]
+            yield PairBatch(
+                source=np.stack([a for a, _, _ in items]),
+                target=np.stack([b for _, b, _ in items]),
+                transform=np.stack([t for _, _, t in items]),
+            )
+
+
+class SyntheticPairs:
+    """On-the-fly registration pairs from procedural shapes.
+
+    mode='clean'   : full clouds, no noise (ModelNet40-style);
+    mode='noise'   : + clipped Gaussian noise both clouds
+                     (modelnet40_registration.py semantics);
+    mode='partial' : + independent 2.5-D z-buffer crops before resampling
+                     (deepgmr_partial.py semantics).
+    """
+
+    def __init__(self, num_pairs: int = 100, num_points: int = 1024,
+                 mode: str = "noise", max_degree: float = 360.0,
+                 max_amp: float = 0.5, noise_sigma: float = 0.01,
+                 noise_clip: float = 0.05, seed: int = 0):
+        assert mode in ("clean", "noise", "partial")
+        self.num_pairs = num_pairs
+        self.num_points = num_points
+        self.mode = mode
+        self.max_degree = max_degree
+        self.max_amp = max_amp
+        self.noise_sigma = noise_sigma
+        self.noise_clip = noise_clip
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.num_pairs
+
+    def __getitem__(self, index: int):
+        rs = np.random.RandomState(self.seed * 1_000_003 + index)
+        label = rs.randint(0, synthetic.NUM_CLASSES)
+        cloud = synthetic.make_cloud(label, 4096, seed=index + 17,
+                                     with_normals=False)
+        trans, moved = random_rotation(cloud, None, self.max_degree,
+                                       self.max_amp, rs=rs)
+        src, dst = cloud, moved
+        if self.mode == "partial":
+            src = zbuffer_crop(src)
+            dst = zbuffer_crop(dst)
+        src = src[randchoice(rs, src.shape[0], self.num_points)]
+        dst = dst[randchoice(rs, dst.shape[0], self.num_points)]
+        if self.mode in ("noise", "partial"):
+            src = jitter(src, self.noise_sigma, self.noise_clip, rs)
+            dst = jitter(dst, self.noise_sigma, self.noise_clip, rs)
+        return (src.astype(np.float32), dst.astype(np.float32),
+                trans.astype(np.float32))
+
+    def batches(self, batch_size: int = 1) -> Iterator[PairBatch]:
+        for start in range(0, len(self), batch_size):
+            idx = range(start, min(start + batch_size, len(self)))
+            items = [self[i] for i in idx]
+            yield PairBatch(
+                source=np.stack([a for a, _, _ in items]),
+                target=np.stack([b for _, b, _ in items]),
+                transform=np.stack([t for _, _, t in items]),
+            )
+
+
+def get_pairs(path: str | None, num_points: int = 1024, mode: str = "noise",
+              num_pairs: int = 100):
+    """Dataset factory: h5 file if given and present, synthetic otherwise
+    (ref: `getdataset`, deepgmr_mn40.py:68-69)."""
+    import os
+
+    if path and os.path.isfile(path):
+        return H5TestPairs(path, num_points)
+    return SyntheticPairs(num_pairs=num_pairs, num_points=num_points, mode=mode)

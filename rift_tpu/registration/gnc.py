@@ -1,0 +1,96 @@
+"""Graduated non-convexity (GNC) robust pose solvers: TLS (TEASER-style) and
+Geman-McClure (FGR-style).
+
+TPU-native replacement for the reference's external C++ solvers:
+- TEASER++ GNC-TLS invocation (`deepgmr_mn40.py:172-231`: cbar2=1,
+  noise_bound=0.02, gnc_factor=1.4, <=100 iterations, cost threshold 1e-12);
+- Open3D FastGlobalRegistration (`utils/open3d_func.py:52-61`).
+
+Design: both are expressed as one `lax.scan` of
+(weight update -> weighted Kabsch) over a graduated control parameter μ —
+branchless, fixed iteration count, fully batched over pairs via vmap.
+TEASER's max-clique pruning and TIM decoupling are not replicated; the
+mutual-NN correspondences the reference feeds the solver are clean enough
+that GNC-TLS alone reaches the same accuracy regime (validated against the
+RRE/RTE targets in BASELINE.md).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .kabsch import weighted_kabsch
+
+Array = jax.Array
+
+
+def _residuals(transform: Array, src: Array, dst: Array) -> Array:
+    rot = transform[..., :3, :3]
+    t = transform[..., :3, 3]
+    moved = jnp.einsum("...ij,...nj->...ni", rot, src) + t[..., None, :]
+    return jnp.linalg.norm(moved - dst, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "kind"))
+def gnc_pose(
+    src: Array,
+    dst: Array,
+    valid: Array,
+    noise_bound: float = 0.02,
+    gnc_factor: float = 1.4,
+    max_iterations: int = 100,
+    kind: str = "tls",
+) -> tuple[Array, Array]:
+    """GNC robust SE(3) estimation over putative correspondences.
+
+    src/dst [n, 3], valid [n] bool. kind: 'tls' (TEASER GNC-TLS weights) or
+    'gm' (Geman-McClure, FGR-style). Returns (transform [4,4], weights [n]).
+    """
+    c2 = noise_bound * noise_bound
+    w0 = valid.astype(src.dtype)
+    t0 = weighted_kabsch(src, dst, w0)
+    r2_max = jnp.max(jnp.where(valid, _residuals(t0, src, dst) ** 2, 0.0))
+    # μ init per TEASER: small μ = very convex surrogate.
+    mu0 = c2 / jnp.maximum(2.0 * r2_max - c2, 1e-12)
+    mu0 = jnp.maximum(mu0, 1e-6)
+
+    def step(carry, _):
+        transform, mu = carry
+        r2 = _residuals(transform, src, dst) ** 2
+        if kind == "tls":
+            # GNC-TLS weight update (Yang et al. 2020, eq. 14).
+            th1 = (mu + 1.0) / mu * c2
+            th2 = mu / (mu + 1.0) * c2
+            w = jnp.where(
+                r2 >= th1,
+                0.0,
+                jnp.where(
+                    r2 <= th2,
+                    1.0,
+                    jnp.sqrt(c2 * mu * (mu + 1.0) / jnp.maximum(r2, 1e-20)) - mu,
+                ),
+            )
+        elif kind == "gm":
+            # Geman-McClure with graduated scale (FGR): w = (μc²/(μc²+r²))².
+            w = (mu * c2 / (mu * c2 + r2)) ** 2
+        else:
+            raise ValueError(f"unknown GNC kind {kind!r}")
+        w = w * valid
+        new_t = weighted_kabsch(src, dst, w)
+        new_mu = mu * gnc_factor if kind == "tls" else jnp.maximum(mu / gnc_factor, 1.0)
+        return (new_t, new_mu), w
+
+    init_mu = mu0 if kind == "tls" else jnp.asarray(64.0, src.dtype)
+    (transform, _), ws = jax.lax.scan(step, (t0, init_mu), None,
+                                      length=max_iterations)
+    return transform, ws[-1]
+
+
+def fgr_pose(src: Array, dst: Array, valid: Array,
+             noise_bound: float = 0.04, max_iterations: int = 64
+             ) -> tuple[Array, Array]:
+    """FGR-flavored alias (graduated Geman-McClure)."""
+    return gnc_pose(src, dst, valid, noise_bound=noise_bound,
+                    max_iterations=max_iterations, kind="gm")

@@ -1,0 +1,174 @@
+"""Experiment configuration: typed dataclasses + hierarchical presets +
+dot-path CLI overrides.
+
+Replaces the reference's import-time global-mutation config system
+(`utils/config.py`: a global `configs` tree mutated by importing modules,
+with `--configs.a.b=v` eval-parsed overrides, SURVEY.md §3.3) with explicit
+dataclasses, while preserving the capabilities: hierarchical experiment
+presets, leaf experiments, and `a.b=v` command-line overrides.
+
+The preset names mirror the reference experiment tree
+(`configs/modelnet40/pvcnn/experiments/...`): classification leaves
+{sph,cu} x {dg,pt} (exp13 = 'mn40_sph_dg'), and registration leaves
+{clean,noise,partial,icl_nuim} x {ransac,fgr,teaserpp}.
+"""
+from __future__ import annotations
+
+import ast
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..data.modelnet40 import ModelNet40Config
+
+
+@dataclass
+class ModelConfig:
+    # ref: configs/modelnet40/pvcnn/__init__.py:5-9 + exp13.py
+    blocks: tuple = ((64, 1, 32), (128, 1, 32), (256, 1, None), (512, 1, None))
+    dim_k: int = 512
+    num_classes: int = 40
+    point_kernel_formal: str = "dgcnn_kernel"
+    voxel_shape: str = "spherical"
+    with_coeff: bool = True
+    with_se: bool = True
+    extra_feature_channels: int = 0
+    width_multiplier: float = 1.0
+    voxel_resolution_multiplier: float = 1.0
+    is_classify: bool = True
+    rot_invariant_preprocess: str | None = "change_coords"
+    with_local_feat: str | None = "ppf"
+    with_transform_fine_tune: bool = False
+    use_new_coords_for_voxel: bool = False
+    local_neighbors: int = 128
+
+
+@dataclass
+class OptimConfig:
+    # ref: configs/modelnet40/__init__.py:12-13 (Adam 1e-3) +
+    # SO3_SO3/__init__.py weight_decay 1e-6 + CosineAnnealingLR(T_max=epochs)
+    lr: float = 1e-3
+    weight_decay: float = 1e-6
+    num_epochs: int = 250
+    schedule: str = "cosine"
+    grad_clip: float | None = None
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 16          # ref: SO3_SO3/__init__.py:14
+    eval_batch_size: int = 32
+    valid_interval: int = 1
+    steps_per_epoch: int | None = None  # cap (useful for smoke runs)
+    ckpt_dir: str = "checkpoints"
+    log_every: int = 10
+    half_precision: bool = False   # bfloat16 activations in conv/mlp stacks
+
+
+@dataclass
+class EvalConfig:
+    # ref: deepgmr_* leaf configs (method + h5 path)
+    method: str = "teaserpp"       # 'ransac' | 'fgr' | 'teaserpp' | 'icp'
+    pairs_path: str | None = None  # h5 file; None -> synthetic pairs
+    pairs_mode: str = "noise"      # 'clean' | 'noise' | 'partial'
+    num_pairs: int = 100
+    num_points: int = 1024
+    noise_bound: float = 0.02
+    inlier_threshold: float = 0.08
+    num_hypotheses: int = 1000     # ref RANSAC max_iter=1000
+
+
+@dataclass
+class ExperimentConfig:
+    name: str = "mn40_sph_dg"
+    seed: int = 0                  # ref: configs/__init__.py:5
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    dataset: ModelNet40Config = field(default_factory=ModelNet40Config)
+    evaluate: EvalConfig = field(default_factory=EvalConfig)
+
+
+# ----------------------------------------------------------------------- #
+# Presets (the reference's experiment tree, SURVEY.md §2.1 config tree).
+
+def _classification(voxel_shape: str, kernel: str) -> ExperimentConfig:
+    cfg = ExperimentConfig(
+        name=f"mn40_{'sph' if voxel_shape == 'spherical' else 'cu'}_"
+             f"{'dg' if kernel == 'dgcnn_kernel' else 'pt'}",
+    )
+    cfg.model.voxel_shape = voxel_shape
+    cfg.model.point_kernel_formal = kernel
+    return cfg
+
+
+def _registration(method: str, mode: str, voxel_shape: str = "cube",
+                  kernel: str = "dgcnn_kernel") -> ExperimentConfig:
+    cfg = _classification(voxel_shape, kernel)
+    cfg.name = f"reg_{mode}_{method}"
+    # ref: deepgmr_mn40_cu_dg/__init__.py — feature-extractor mode with
+    # extra_feature_channels=4 (xyz' + global PPF), test batch 1.
+    cfg.model.is_classify = False
+    cfg.model.extra_feature_channels = 4
+    cfg.evaluate.method = method
+    cfg.evaluate.pairs_mode = "partial" if mode == "partial" else (
+        "clean" if mode == "clean" else "noise")
+    return cfg
+
+
+def presets() -> dict[str, ExperimentConfig]:
+    out: dict[str, ExperimentConfig] = {}
+    for vs in ("spherical", "cube"):
+        for k in ("dgcnn_kernel", "pointnet_kernel"):
+            cfg = _classification(vs, k)
+            out[cfg.name] = cfg
+    for mode in ("clean", "noise", "partial", "icl_nuim"):
+        for method in ("ransac", "fgr", "teaserpp"):
+            for vs, kn in (("cube", "dgcnn_kernel"), ("cube", "pointnet_kernel")):
+                cfg = _registration(method, mode, vs, kn)
+                suffix = "cu_dg" if kn == "dgcnn_kernel" else "cu_pt"
+                cfg.name = f"reg_{mode}_{method}_{suffix}"
+                out[cfg.name] = cfg
+    # tiny smoke preset for CI / CPU runs
+    tiny = ExperimentConfig(name="tiny_smoke")
+    tiny.model.blocks = ((16, 1, 8), (32, 1, None))
+    tiny.model.dim_k = 32
+    tiny.model.local_neighbors = 16
+    tiny.dataset.num_points = 64
+    tiny.dataset.synthetic_items = {"train": 32, "valid": 16, "test": 16}
+    tiny.train.batch_size = 4
+    tiny.optim.num_epochs = 2
+    out[tiny.name] = tiny
+    return out
+
+
+def get_config(name: str) -> ExperimentConfig:
+    table = presets()
+    if name not in table:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(table)}")
+    return table[name]
+
+
+# ----------------------------------------------------------------------- #
+# Dot-path overrides: "model.dim_k=256", "evaluate.method='ransac'".
+
+def apply_overrides(cfg: Any, overrides: list[str]) -> Any:
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} must look like a.b=value")
+        path, raw = item.split("=", 1)
+        keys = path.strip().lstrip("-").split(".")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw  # bare string
+        node = cfg
+        for key in keys[:-1]:
+            node = getattr(node, key)
+        leaf = keys[-1]
+        if dataclasses.is_dataclass(node) and leaf not in {
+            f.name for f in dataclasses.fields(node)
+        }:
+            raise AttributeError(f"{type(node).__name__} has no field {leaf!r}")
+        setattr(node, leaf, value)
+    return cfg

@@ -1,0 +1,120 @@
+import numpy as np
+import pytest
+
+from rift_tpu.data import (
+    ModelNet40,
+    ModelNet40Config,
+    SyntheticPairs,
+    get_datasets,
+    synthetic,
+)
+from rift_tpu.data.grid_subsample import grid_subsample
+from rift_tpu.data.transforms import (
+    half_space_crop,
+    jitter,
+    random_rotation,
+    zbuffer_crop,
+)
+
+
+def test_synthetic_clouds_are_deterministic_and_normalized():
+    a = synthetic.make_cloud(7, 256, seed=3)
+    b = synthetic.make_cloud(7, 256, seed=3)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (256, 6)
+    radii = np.linalg.norm(a[:, :3], axis=1)
+    assert radii.max() <= 1.0 + 1e-5
+    norms = np.linalg.norm(a[:, 3:], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_modelnet40_synthetic_batches():
+    cfg = ModelNet40Config(num_points=64,
+                           synthetic_items={"train": 16, "valid": 8, "test": 8})
+    ds = get_datasets(cfg)
+    clouds, labels = next(ds["train"].batches(4, seed=0))
+    assert clouds.shape == (4, 64, 6)
+    assert labels.shape == (4,)
+    assert labels.dtype == np.int32
+    # random rotation differs across epochs but clouds stay finite
+    clouds2, _ = next(ds["train"].batches(4, seed=1))
+    assert np.isfinite(clouds).all() and np.isfinite(clouds2).all()
+
+
+def test_modelnet40_no_rotation_when_disabled():
+    cfg = ModelNet40Config(num_points=32,
+                           random_rot={"train": False, "valid": False, "test": False},
+                           synthetic_items={"train": 8, "valid": 4, "test": 4})
+    ds = ModelNet40(cfg, "test")
+    rs = np.random.RandomState(0)
+    cloud, _ = ds.get(0, rs)
+    # centered
+    np.testing.assert_allclose(cloud[:, :3].mean(0), 0.0, atol=1e-5)
+
+
+def test_random_rotation_matches_transform():
+    rs = np.random.RandomState(3)
+    pts = rs.randn(50, 3).astype(np.float32)
+    t, moved = random_rotation(pts, rs=np.random.RandomState(4))
+    want = pts @ t[:3, :3].T + t[:3, 3]
+    np.testing.assert_allclose(moved, want.astype(np.float32), atol=1e-5)
+    # rotation is orthonormal
+    np.testing.assert_allclose(t[:3, :3] @ t[:3, :3].T, np.eye(3), atol=1e-6)
+
+
+def test_zbuffer_crop_keeps_min_z_per_cell():
+    rs = np.random.RandomState(0)
+    pts = rs.rand(2000, 3).astype(np.float32)
+    out = zbuffer_crop(pts, grid_num=10)
+    assert 0 < len(out) <= 121  # at most (grid+1)^2 cells... here <= 100 occupied
+    # every kept point is the min-z of its cell among kept points
+    assert len(np.unique(out, axis=0)) == len(out)
+
+
+def test_half_space_crop_fraction():
+    rs = np.random.RandomState(0)
+    pts = rs.randn(1000, 3).astype(np.float32)
+    out = half_space_crop(pts, 0.7, rs)
+    assert abs(len(out) - 700) < 30
+
+
+def test_jitter_clipped():
+    pts = np.zeros((100, 3), np.float32)
+    out = jitter(pts, sigma=1.0, clip=0.05, rs=np.random.RandomState(0))
+    assert np.abs(out).max() <= 0.05 + 1e-6
+
+
+@pytest.mark.parametrize("mode", ["clean", "noise", "partial"])
+def test_synthetic_pairs(mode):
+    ds = SyntheticPairs(num_pairs=2, num_points=128, mode=mode)
+    src, dst, trans = ds[0]
+    assert src.shape == (128, 3) and dst.shape == (128, 3)
+    assert trans.shape == (4, 4)
+    if mode == "clean":
+        # dst must be exactly the transformed full cloud (subsampled)
+        moved = src @ trans[:3, :3].T.astype(np.float32) + trans[:3, 3].astype(np.float32)
+        # same underlying surface: nearest-neighbor distance on the order of
+        # the sampling density (128 pts on a unit surface)
+        d = np.linalg.norm(moved[:, None] - dst[None], axis=-1).min(1)
+        assert np.median(d) < 0.3
+
+
+def test_grid_subsample_cpp():
+    rs = np.random.RandomState(0)
+    pts = rs.rand(3000, 3).astype(np.float32)
+    feats = rs.rand(3000, 2).astype(np.float32)
+    labels = rs.randint(0, 4, 3000).astype(np.int32)
+    p, f, l = grid_subsample(pts, feats, labels, sample_dl=0.2)
+    assert p.shape[0] == f.shape[0] == l.shape[0]
+    # occupied cells are unique
+    cells = np.floor(p / 0.2).astype(int)
+    assert len(np.unique(cells, axis=0)) == len(cells)
+    # one-cell oracle: barycenter + feature mean + majority label
+    cell_ids = np.floor(pts / 0.2).astype(int)
+    mask = np.all(cell_ids == cell_ids[0], axis=1)
+    want_p = pts[mask].mean(0)
+    j = np.argmin(np.linalg.norm(p - want_p, axis=1))
+    np.testing.assert_allclose(p[j], want_p, atol=1e-5)
+    np.testing.assert_allclose(f[j], feats[mask].mean(0), atol=1e-5)
+    vals, counts = np.unique(labels[mask], return_counts=True)
+    assert l[j] in vals[counts == counts.max()]

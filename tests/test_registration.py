@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rift_tpu.ops import se3
+from rift_tpu.registration import (
+    gnc_pose,
+    icp_pose,
+    pair_errors,
+    ransac_pose,
+    register_pair,
+    weighted_kabsch,
+)
+
+
+def _random_pair(rng, n=200, noise=0.0, outlier_frac=0.0, seed=5):
+    src = rng.randn(n, 3).astype(np.float32)
+    t = np.asarray(se3.random_rotation(jax.random.PRNGKey(seed), max_amp=0.5))
+    dst = src @ t[:3, :3].T + t[:3, 3]
+    if noise:
+        dst = dst + rng.randn(n, 3).astype(np.float32) * noise
+    n_out = int(n * outlier_frac)
+    if n_out:
+        dst[:n_out] = rng.randn(n_out, 3).astype(np.float32) * 2.0
+    return src, dst.astype(np.float32), t
+
+
+def test_kabsch_exact_recovery(rng):
+    src, dst, t = _random_pair(rng)
+    est = np.asarray(weighted_kabsch(jnp.asarray(src), jnp.asarray(dst)))
+    np.testing.assert_allclose(est, t, atol=1e-4)
+
+
+def test_kabsch_weighted_ignores_outliers(rng):
+    src, dst, t = _random_pair(rng, outlier_frac=0.3)
+    w = np.ones(len(src), np.float32)
+    w[: int(0.3 * len(src))] = 0.0
+    est = np.asarray(
+        weighted_kabsch(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w))
+    )
+    np.testing.assert_allclose(est, t, atol=1e-4)
+
+
+def test_kabsch_reflection_guard(rng):
+    # Coplanar points can induce reflections; det(R) must stay +1
+    src = rng.randn(50, 3).astype(np.float32)
+    src[:, 2] = 0.0
+    dst = -src  # a reflection-ish target
+    est = np.asarray(weighted_kabsch(jnp.asarray(src), jnp.asarray(dst)))
+    assert np.linalg.det(est[:3, :3]) > 0.99
+
+
+@pytest.mark.parametrize("kind", ["tls", "gm"])
+def test_gnc_robust_to_outliers(rng, kind):
+    src, dst, t = _random_pair(rng, noise=0.005, outlier_frac=0.4)
+    est, w = gnc_pose(
+        jnp.asarray(src), jnp.asarray(dst), jnp.ones(len(src), bool),
+        noise_bound=0.02 if kind == "tls" else 0.05, kind=kind,
+    )
+    est = np.asarray(est)
+    err = pair_errors(jnp.asarray(src[None]), jnp.asarray(t[None]),
+                      jnp.asarray(est[None]))
+    assert float(err["rre"][0]) < 2.0, float(err["rre"][0])
+    assert float(err["rte"][0]) < 0.05
+
+
+def test_ransac_robust_to_outliers(rng):
+    src, dst, t = _random_pair(rng, noise=0.003, outlier_frac=0.5)
+    est, inl = ransac_pose(
+        jax.random.PRNGKey(0), jnp.asarray(src), jnp.asarray(dst),
+        jnp.ones(len(src), bool), num_hypotheses=256,
+    )
+    err = pair_errors(jnp.asarray(src[None]), jnp.asarray(t[None]),
+                      jnp.asarray(np.asarray(est)[None]))
+    assert float(err["rre"][0]) < 2.0
+    assert float(err["rte"][0]) < 0.05
+    # inliers should exclude most outliers
+    assert np.asarray(inl)[: int(0.5 * len(src))].mean() < 0.2
+
+
+def test_icp_refines_small_perturbation(rng):
+    src, dst, t = _random_pair(rng, noise=0.0)
+    # ICP from identity only works for small motions; make one
+    t_small = np.asarray(se3.make_se3(
+        se3.exp_so3(jnp.asarray([0.05, -0.03, 0.02])), jnp.asarray([0.02, 0.01, -0.01])
+    ))
+    dst_small = src @ t_small[:3, :3].T + t_small[:3, 3]
+    est = np.asarray(icp_pose(jnp.asarray(src), jnp.asarray(dst_small.astype(np.float32))))
+    np.testing.assert_allclose(est, t_small, atol=1e-3)
+
+
+@pytest.mark.parametrize("method", ["teaserpp", "ransac", "fgr"])
+def test_register_pair_end_to_end_with_perfect_features(rng, method):
+    """With distinctive features, the full pipeline recovers the pose."""
+    src, dst, t = _random_pair(rng, noise=0.002)
+    # features: the source coordinates themselves (same for both clouds ->
+    # mutual NN gives identity correspondence)
+    feat = rng.randn(len(src), 16).astype(np.float32)
+    est, _ = register_pair(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(feat), jnp.asarray(feat),
+        key=jax.random.PRNGKey(1), method=method,
+    )
+    err = pair_errors(jnp.asarray(src[None]), jnp.asarray(t[None]),
+                      jnp.asarray(np.asarray(est)[None]))
+    assert float(err["rre"][0]) < 1.0, (method, float(err["rre"][0]))
+    assert float(err["rte"][0]) < 0.02
+    assert float(err["rmse"][0]) < 0.05

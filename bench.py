@@ -68,16 +68,20 @@ def main() -> None:
 
         return jax.vmap(one)(src, dst, f_src, f_dst)
 
-    # Warm up / compile.
-    out = register_batch(variables, src, dst)
-    jax.block_until_ready(out)
+    def sync(x):
+        # A tiny host fetch of a device-reduced scalar: the only reliable
+        # synchronization on the tunneled TPU backend (block_until_ready
+        # returns at dispatch there, not completion).
+        return float(jnp.sum(x))
 
-    # Timed runs.
+    # Warm up / compile.
+    sync(register_batch(variables, src, dst))
+
+    # Timed runs (inputs varied so no layer can cache).
     reps = 5
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = register_batch(variables, src, dst)
-    jax.block_until_ready(out)
+    for i in range(reps):
+        sync(register_batch(variables, src + 1e-4 * i, dst))
     dt = (time.perf_counter() - t0) / reps
     pairs_per_s = batch_pairs / dt
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .eig3 import smallest_eigenvector_sym3
 from .neighbors import grouping, knn
 
 Array = jax.Array
@@ -35,12 +36,13 @@ def estimate_normals(points: Array, radius: float = 0.1, max_neighbors: int = 32
     mean = jnp.sum(jnp.where(mask, nbr, 0.0), axis=-2) / cnt
     centered = jnp.where(mask, nbr - mean[..., None, :], 0.0)
     cov = jnp.einsum("...ki,...kj->...ij", centered, centered, precision=_HI)
-    # Degenerate neighborhoods (< 3 points) get the identity added so eigh
-    # stays well-conditioned; their normal is arbitrary but finite.
+    # Degenerate neighborhoods (< 3 points) get the identity added so the
+    # solve stays well-conditioned; their normal is arbitrary but finite.
     degenerate = (cnt[..., 0] < 3)[..., None, None]
     cov = jnp.where(degenerate, jnp.eye(3, dtype=points.dtype), cov)
-    _, vecs = jnp.linalg.eigh(cov)
-    normal = vecs[..., :, 0]  # smallest eigenvalue -> plane normal
+    # Closed-form smallest eigenvector (ops/eig3.py): ~10x cheaper than the
+    # general batched eigh on TPU for this [b, n, 3, 3] shape.
+    normal = smallest_eigenvector_sym3(cov)
     cam = jnp.zeros(3, points.dtype) if camera is None else camera
     to_cam = cam - points
     sign = jnp.where(jnp.sum(normal * to_cam, axis=-1, keepdims=True) < 0.0, -1.0, 1.0)

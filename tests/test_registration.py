@@ -106,3 +106,32 @@ def test_register_pair_end_to_end_with_perfect_features(rng, method):
     assert float(err["rre"][0]) < 1.0, (method, float(err["rre"][0]))
     assert float(err["rte"][0]) < 0.02
     assert float(err["rmse"][0]) < 0.05
+
+
+def test_rotation_from_h_matches_svd_formula(rng):
+    from rift_tpu.registration.kabsch import rotation_from_h
+
+    def svd_rot(h):
+        # classic formula (for max tr(R h)): R = V diag(1,1,det(VU^T)) U^T
+        u, s, vt = np.linalg.svd(h)
+        v = vt.T
+        d = np.linalg.det(v @ u.T)
+        return v @ np.diag([1.0, 1.0, d]) @ u.T
+
+    cases = [rng.randn(3, 3).astype(np.float32) for _ in range(20)]
+    # coplanar (rank 2) and collinear (rank 1) and reflection-heavy cases
+    a = rng.randn(3, 2).astype(np.float32)
+    cases.append((a @ rng.randn(2, 3).astype(np.float32)))
+    b = rng.randn(3, 1).astype(np.float32)
+    cases.append(b @ rng.randn(1, 3).astype(np.float32))
+    cases.append(np.diag([2.0, 1.5, -1.0]).astype(np.float32))
+    for h in cases:
+        # rotation_from_h maximizes tr(R^T h) == tr(R h^T); align conventions
+        got = np.asarray(rotation_from_h(jnp.asarray(h.T)))
+        want = svd_rot(h)
+        # compare objective values (optima may differ in degenerate null dirs)
+        np.testing.assert_allclose(np.trace(got @ h), np.trace(want @ h),
+                                   atol=1e-3)
+        # and verify got is a proper rotation
+        np.testing.assert_allclose(got @ got.T, np.eye(3), atol=1e-4)
+        assert np.linalg.det(got) > 0.99

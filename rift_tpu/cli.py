@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     p_eval.add_argument("--preset", default="reg_noise_teaserpp_cu_dg")
     p_eval.add_argument("overrides", nargs="*")
 
+    p_seg = sub.add_parser("train-seg", help="ShapeNet part segmentation")
+    p_seg.add_argument("--preset", default="shapenet_seg")
+    p_seg.add_argument("overrides", nargs="*")
+
     sub.add_parser("presets", help="list experiment presets")
 
     args = parser.parse_args(argv)
@@ -55,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
         results = evaluate_registration(config)
         for key, value in results.items():
             print(f"{key}: {value:.6f}")
+        return 0
+    if args.command == "train-seg":
+        from .train.loop import train_segmentation
+
+        train_segmentation(config)
         return 0
     return 1
 

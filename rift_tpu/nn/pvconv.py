@@ -16,11 +16,27 @@ TPU-native re-design of `PVCNN/modules/pvconv.py:15-99` and
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from ..ops.pallas.spherical_fast import (
+    spherical_avg_voxelize_fast,
+    spherical_trilinear_devoxelize_fast,
+)
 from ..ops.spherical import spherical_avg_voxelize, spherical_trilinear_devoxelize
 from ..ops.voxelize import avg_voxelize, trilinear_devoxelize
 from .shared_mlp import SharedMLP
+
+
+def _use_pallas(impl: str, resolution: int) -> bool:
+    """'auto': MXU one-hot kernels on TPU when r³ fits the tile grid;
+    XLA scatter everywhere else (interpret-mode Pallas would crawl on CPU)."""
+    r3 = resolution**3
+    if impl == "pallas":
+        return r3 % 512 == 0
+    if impl == "xla":
+        return False
+    return jax.default_backend() == "tpu" and r3 % 512 == 0
 
 
 class SE3d(nn.Module):
@@ -58,6 +74,7 @@ class PVConv(nn.Module):
     with_se: bool = False
     normalize: bool = True  # cube-path coordinate normalization
     eps: float = 0.0
+    impl: str = "auto"  # 'auto' | 'xla' | 'pallas' voxelize/devox backend
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
@@ -65,12 +82,14 @@ class PVConv(nn.Module):
         b, n, c = features.shape
         r = self.resolution
 
+        fast = _use_pallas(self.impl, r)
         if self.voxel_shape == "cube":
             grid, inds, grid_coords = avg_voxelize(
                 features, coords, r, normalize=self.normalize, eps=self.eps
             )
         elif self.voxel_shape == "spherical":
-            grid, inds, norm_coords = spherical_avg_voxelize(features, coords, r)
+            vox = spherical_avg_voxelize_fast if fast else spherical_avg_voxelize
+            grid, inds, norm_coords = vox(features, coords, r)
         else:
             raise ValueError(f"unknown voxel_shape {self.voxel_shape!r}")
 
@@ -86,7 +105,9 @@ class PVConv(nn.Module):
         if self.voxel_shape == "cube":
             voxel_features = trilinear_devoxelize(v, grid_coords, r)
         else:
-            voxel_features = spherical_trilinear_devoxelize(v, norm_coords, inds, r)
+            devox = (spherical_trilinear_devoxelize_fast if fast
+                     else spherical_trilinear_devoxelize)
+            voxel_features = devox(v, norm_coords, inds, r)
 
         # Point branch.
         if self.point_kernel_formal == "dgcnn_kernel":

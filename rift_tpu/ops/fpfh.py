@@ -24,9 +24,21 @@ _BINS = 11
 
 
 def _histogram(values: Array, lo: float, hi: float, mask: Array) -> Array:
-    """Masked histogram over the last axis -> [..., _BINS]."""
-    idx = jnp.clip(((values - lo) / (hi - lo) * _BINS).astype(jnp.int32), 0, _BINS - 1)
-    onehot = jax.nn.one_hot(idx, _BINS, dtype=values.dtype)
+    """Masked SOFT histogram over the last axis -> [..., _BINS].
+
+    Weight is split linearly between the two nearest bin centers: bin-edge
+    jitter (e.g. from rotating the frame) moves mass smoothly instead of
+    flipping whole bins, keeping the descriptor rotation-stable.
+    """
+    pos = jnp.clip((values - lo) / (hi - lo) * _BINS - 0.5, 0.0, _BINS - 1.0)
+    lo_bin = jnp.floor(pos)
+    frac = pos - lo_bin
+    lo_oh = jax.nn.one_hot(lo_bin.astype(jnp.int32), _BINS, dtype=values.dtype)
+    hi_oh = jax.nn.one_hot(
+        jnp.minimum(lo_bin + 1, _BINS - 1).astype(jnp.int32), _BINS,
+        dtype=values.dtype,
+    )
+    onehot = lo_oh * (1.0 - frac[..., None]) + hi_oh * frac[..., None]
     onehot = jnp.where(mask[..., None], onehot, 0.0)
     return jnp.sum(onehot, axis=-2)
 

@@ -1,9 +1,14 @@
-"""On-device surface normal estimation (KNN-PCA).
+"""On-device surface normal estimation (radius-PCA).
 
 Open3D-free replacement for the reference's per-pair CPU normal estimation
 (`utils/open3d_func.py:77-83`: radius-0.1 KD-tree search, plane fit, orient
-towards camera at the origin, normalize). On TPU this is a radius-masked
-covariance per point + batched 3×3 eigendecomposition.
+towards camera at the origin, normalize).
+
+TPU-first formulation: no KD-tree, no top-k, no gathers. The radius mask is
+an n×n boolean from one MXU distance matmul, and the per-point covariance
+comes from masked *moment matmuls* (mask @ p, mask @ (p⊗p)) — everything is
+matrix math plus the closed-form 3×3 eigensolver (ops/eig3.py). Unlike a
+k-capped KNN variant this matches Open3D's uncapped radius search exactly.
 """
 from __future__ import annotations
 
@@ -11,37 +16,42 @@ import jax
 import jax.numpy as jnp
 
 from .eig3 import smallest_eigenvector_sym3
-from .neighbors import grouping, knn
+from .neighbors import pairwise_sqdist
 
 Array = jax.Array
 
 _HI = jax.lax.Precision.HIGHEST
 
 
-def estimate_normals(points: Array, radius: float = 0.1, max_neighbors: int = 32,
+def estimate_normals(points: Array, radius: float = 0.1,
+                     max_neighbors: int | None = None,
                      camera: Array | None = None) -> Array:
     """Per-point unit normals oriented towards the camera.
 
     points [..., n, 3] -> normals [..., n, 3].
 
-    The k = max_neighbors nearest points are gathered and masked to the
-    radius ball (matching KDTreeSearchParamRadius up to the neighbor cap);
-    the normal is the smallest-eigenvector of the masked covariance.
-    Orientation: flip so n·(camera - p) >= 0 (Open3D default camera origin).
+    All points within `radius` (self included) contribute to the local
+    plane fit; `max_neighbors` is accepted for API compatibility and
+    ignored (the moment formulation has no cap). Orientation: flip so
+    n·(camera - p) >= 0 (Open3D default camera at the origin).
     """
-    d2, idx = knn(points, points, max_neighbors)
-    nbr = grouping(points, idx)  # [..., n, k, 3]
-    mask = (d2 < radius * radius)[..., None]  # self included (d2 == 0)
-    cnt = jnp.maximum(jnp.sum(mask, axis=-2), 1)  # [..., n, 1]
-    mean = jnp.sum(jnp.where(mask, nbr, 0.0), axis=-2) / cnt
-    centered = jnp.where(mask, nbr - mean[..., None, :], 0.0)
-    cov = jnp.einsum("...ki,...kj->...ij", centered, centered, precision=_HI)
-    # Degenerate neighborhoods (< 3 points) get the identity added so the
-    # solve stays well-conditioned; their normal is arbitrary but finite.
+    del max_neighbors
+    d2 = pairwise_sqdist(points, points)
+    mask = (d2 < radius * radius).astype(points.dtype)  # [..., n, n]
+    cnt = jnp.sum(mask, axis=-1, keepdims=True)  # [..., n, 1] (>= 1: self)
+    # First moment: μ_i = Σ_j m_ij p_j / cnt_i
+    s1 = jnp.einsum("...ij,...jc->...ic", mask, points, precision=_HI)
+    mu = s1 / jnp.maximum(cnt, 1.0)
+    # Second moment: Σ_j m_ij p_j p_jᵀ as one [n, 9] matmul.
+    outer = (points[..., :, :, None] * points[..., :, None, :]).reshape(
+        points.shape[:-1] + (9,)
+    )
+    s2 = jnp.einsum("...ij,...jc->...ic", mask, outer, precision=_HI)
+    s2 = s2.reshape(s2.shape[:-1] + (3, 3)) / jnp.maximum(cnt[..., None], 1.0)
+    cov = s2 - mu[..., :, None] * mu[..., None, :]
+    # Degenerate neighborhoods (< 3 points): arbitrary but finite normal.
     degenerate = (cnt[..., 0] < 3)[..., None, None]
     cov = jnp.where(degenerate, jnp.eye(3, dtype=points.dtype), cov)
-    # Closed-form smallest eigenvector (ops/eig3.py): ~10x cheaper than the
-    # general batched eigh on TPU for this [b, n, 3, 3] shape.
     normal = smallest_eigenvector_sym3(cov)
     cam = jnp.zeros(3, points.dtype) if camera is None else camera
     to_cam = cam - points

@@ -29,20 +29,41 @@ def hat(w: Array) -> Array:
     )
 
 
+def _sinc_coeffs(theta2: Array) -> tuple[Array, Array, Array]:
+    """(sinθ/θ, (1-cosθ)/θ², (θ-sinθ)/θ³) with Taylor branches near 0 —
+    written so the *selected* branch has the right derivative at θ=0
+    (a bare jnp.where on the assembled matrix kills rotation gradients)."""
+    small = theta2 < 1e-8
+    safe2 = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(safe2)
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe2)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0,
+                  (theta - jnp.sin(theta)) / (safe2 * theta))
+    return a, b, c
+
+
 def exp_so3(w: Array) -> Array:
-    """Rodrigues: axis-angle [..., 3] -> rotation matrix [..., 3, 3]."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]  # [...,1,1]
-    safe = jnp.maximum(theta, 1e-12)
-    k = hat(w / jnp.squeeze(safe, -1))
+    """Rodrigues: axis-angle [..., 3] -> rotation matrix [..., 3, 3].
+    Differentiable everywhere including θ = 0."""
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    a, b, _ = _sinc_coeffs(theta2)
+    k = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), k.shape)
-    rot = eye + jnp.sin(theta) * k + (1.0 - jnp.cos(theta)) * jnp.matmul(k, k, precision=_HI)
-    return jnp.where(theta < 1e-8, eye, rot)
+    return eye + a * k + b * jnp.matmul(k, k, precision=_HI)
 
 
 def log_so3(rot: Array) -> Array:
-    """Rotation matrix [..., 3, 3] -> axis-angle [..., 3]."""
+    """Rotation matrix [..., 3, 3] -> axis-angle [..., 3].
+
+    cos is clipped strictly inside (-1, 1): arccos has an infinite
+    derivative at ±1, which poisons jacobians of residuals that pass
+    through the identity (pose-graph/GN). With the clip active the arccos
+    gradient is zeroed and the Taylor branch below supplies the correct
+    near-identity derivative.
+    """
     tr = jnp.trace(rot, axis1=-2, axis2=-1)
-    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos)
     vee = jnp.stack(
         [
@@ -52,9 +73,38 @@ def log_so3(rot: Array) -> Array:
         ],
         axis=-1,
     )
-    sin = jnp.sin(theta)
-    scale = jnp.where(jnp.abs(sin) < 1e-8, 0.5, theta / (2.0 * jnp.maximum(jnp.abs(sin), 1e-12)))
+    # θ/(2 sinθ) with its Taylor branch (0.5 + θ²/12) so gradients survive
+    # θ -> 0 (see _sinc_coeffs note).
+    small = theta < 1e-4
+    safe_sin = jnp.where(small, 1.0, jnp.sin(theta))
+    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * safe_sin))
     return vee * scale[..., None]
+
+
+def _v_matrix(w: Array) -> Array:
+    """Left Jacobian V of SO(3): exp_se3 translation factor.
+    V = I + (1-cosθ)/θ²·K + (θ-sinθ)/θ³·K², K = hat(w); Taylor-safe."""
+    theta2 = jnp.sum(w * w, axis=-1)[..., None, None]
+    _, b, c = _sinc_coeffs(theta2)
+    k = hat(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), k.shape)
+    return eye + b * k + c * jnp.matmul(k, k, precision=_HI)
+
+
+def exp_se3(xi: Array) -> Array:
+    """se(3) exponential: twist [..., 6] (w | v) -> transform [..., 4, 4]."""
+    w, v = xi[..., :3], xi[..., 3:]
+    rot = exp_so3(w)
+    t = jnp.einsum("...ij,...j->...i", _v_matrix(w), v)
+    return make_se3(rot, t)
+
+
+def log_se3(transform: Array) -> Array:
+    """SE(3) logarithm: [..., 4, 4] -> twist [..., 6] (w | v)."""
+    w = log_so3(rot_of(transform))
+    v_inv = jnp.linalg.inv(_v_matrix(w))
+    v = jnp.einsum("...ij,...j->...i", v_inv, trans_of(transform))
+    return jnp.concatenate([w, v], axis=-1)
 
 
 def make_se3(rot: Array, t: Array) -> Array:

@@ -55,7 +55,11 @@ def spherical_coords(norm_coords: Array, resolution: int
     r = resolution
     x, y, z = norm_coords[..., 0], norm_coords[..., 1], norm_coords[..., 2]
     gamma = jnp.sqrt(x * x + y * y + z * z)
-    defined = (gamma > 0.0) & (gamma < 1.0)
+    # γ >= 1 -> undefined. The boundary is checked with a small margin so the
+    # farthest point (γ == 1 after normalization) is undefined on every
+    # backend — the exact-1.0 comparison is at the mercy of reciprocal
+    # rewrites (x/m vs x*(1/m)) and differed between CPU and TPU.
+    defined = (gamma > 0.0) & (gamma < 1.0 - 1e-6)
     safe_gamma = jnp.maximum(gamma, 1e-20)
     beta = jnp.arccos(jnp.clip(z / safe_gamma, -1.0, 1.0))
     defined = defined & (beta < jnp.pi)
@@ -108,6 +112,44 @@ def spherical_avg_voxelize(features: Array, coords: Array, resolution: int
                         valid=defined)
     grid = flat.reshape(flat.shape[:-2] + (r, r, r, flat.shape[-1]))
     return grid, inds, norm_coords
+
+
+def spherical_corner_weights(norm_coords: Array, point_inds: Array,
+                             resolution: int) -> tuple[Array, Array]:
+    """8-corner flat indices + trilinear weights per point.
+
+    norm_coords [..., n, 3], point_inds [..., n] (-1 = undefined) ->
+    (idx int32 [..., n, 8] with -1 rows for undefined points,
+     w [..., n, 8]). γ/β clamp at the boundary shells; α wraps (periodic).
+    """
+    r = resolution
+    gamma, alpha, beta, _ = spherical_coords(norm_coords, r)
+    u = jnp.stack(
+        [gamma * r, alpha * r / (2.0 * jnp.pi), beta * r / jnp.pi], axis=-1
+    )
+    u = jnp.clip(u, 0.0, float(r) - 1e-6)
+    lo = jnp.floor(u)
+    frac = u - lo
+    lo_i = jnp.clip(lo.astype(jnp.int32), 0, r - 1)
+    hi_g = jnp.minimum(lo_i[..., 0] + 1, r - 1)
+    hi_a = jnp.mod(lo_i[..., 1] + 1, r)
+    hi_b = jnp.minimum(lo_i[..., 2] + 1, r - 1)
+    idxs, ws = [], []
+    for dg in (0, 1):
+        wg = frac[..., 0] if dg else (1.0 - frac[..., 0])
+        ig = hi_g if dg else lo_i[..., 0]
+        for da in (0, 1):
+            wa = frac[..., 1] if da else (1.0 - frac[..., 1])
+            ia = hi_a if da else lo_i[..., 1]
+            for db in (0, 1):
+                wb = frac[..., 2] if db else (1.0 - frac[..., 2])
+                ib = hi_b if db else lo_i[..., 2]
+                idxs.append(ig * (r * r) + ia * r + ib)
+                ws.append(wg * wa * wb)
+    idx = jnp.stack(idxs, axis=-1)
+    w = jnp.stack(ws, axis=-1)
+    defined = (point_inds >= 0)[..., None]
+    return jnp.where(defined, idx, -1), jnp.where(defined, w, 0.0)
 
 
 def spherical_trilinear_devoxelize(voxel_grid: Array, norm_coords: Array,

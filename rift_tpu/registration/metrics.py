@@ -20,6 +20,27 @@ TRANS_THRESH = 0.005
 RMSE_THRESH = 0.2
 
 
+def rpmnet_metrics(points_src: Array, points_ref: Array, gt_transform: Array,
+                   est_transform: Array) -> dict:
+    """RPM-Net-style metric family (ref: datasets/mn40_hdf.py:274-478 meter):
+    r_mse/r_mae (degrees, from euler-free rotation geodesic), t_mse/t_mae,
+    err_r_deg, err_t, chamfer distance of the aligned clouds."""
+    from ..ops.losses import chamfer_distance
+
+    rre = se3.rotation_error_deg(se3.rot_of(gt_transform), se3.rot_of(est_transform))
+    dt = se3.trans_of(gt_transform) - se3.trans_of(est_transform)
+    aligned = se3.transform_points(est_transform, points_src)
+    return {
+        "r_mse": rre**2,
+        "r_mae": rre,
+        "t_mse": jnp.sum(dt**2, axis=-1),
+        "t_mae": jnp.mean(jnp.abs(dt), axis=-1),
+        "err_r_deg": rre,
+        "err_t": jnp.linalg.norm(dt, axis=-1),
+        "chamfer": chamfer_distance(aligned, points_ref),
+    }
+
+
 def pair_errors(points: Array, gt_transform: Array, est_transform: Array) -> dict:
     """points [..., n, 3]; transforms [..., 4, 4] -> dict of [...]-shaped
     metrics: rre (deg), rte, rmse, succ, rmse_succ."""

@@ -1,0 +1,144 @@
+"""Pose-graph optimization over multi-scan sequences.
+
+North-star extension beyond the reference (BASELINE.md: "pose graph over
+multi-scan ICL-NUIM sequences"): nodes are scan poses T_i in SE(3), edges
+are relative pairwise-registration measurements T_ij; we minimize
+
+    Σ_e w_e · ‖ Log(T_ij⁻¹ · T_i⁻¹ · T_j) ‖²
+
+by Gauss-Newton on right-multiplied twist perturbations. TPU-first design:
+- all edge residuals + Jacobians in one vmapped batch (Jacobians come from
+  `jax.jacfwd` on the 6-dof edge function — exact, no hand-derived
+  adjoints to get wrong);
+- the normal system H (6N×6N, dense — N scans, N <= O(10³)) is assembled
+  with scatter-adds and solved on the MXU (Cholesky);
+- gauge freedom is fixed with a strong prior on node 0;
+- `optimize_pose_graph_sharded` shards edges over the mesh's data axis and
+  psum-reduces the per-shard (H, b) contributions over ICI — the pose-graph
+  analog of gradient data-parallelism.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import se3
+
+Array = jax.Array
+
+
+def _edge_residual(xi_i: Array, xi_j: Array, pose_i: Array, pose_j: Array,
+                   meas_inv: Array) -> Array:
+    """r = Log(T_ij⁻¹ · (T_i Exp(ξ_i))⁻¹ · (T_j Exp(ξ_j))) ∈ R⁶."""
+    t_i = pose_i @ se3.exp_se3(xi_i)
+    t_j = pose_j @ se3.exp_se3(xi_j)
+    return se3.log_se3(meas_inv @ se3.inverse(t_i) @ t_j)
+
+
+def _edge_terms(pose_i, pose_j, meas_inv):
+    """Residual at ξ=0 plus Jacobians wrt (ξ_i, ξ_j): ([6], [6,6], [6,6])."""
+    zero = jnp.zeros(6, pose_i.dtype)
+    r = _edge_residual(zero, zero, pose_i, pose_j, meas_inv)
+    j_i = jax.jacfwd(_edge_residual, argnums=0)(zero, zero, pose_i, pose_j, meas_inv)
+    j_j = jax.jacfwd(_edge_residual, argnums=1)(zero, zero, pose_i, pose_j, meas_inv)
+    return r, j_i, j_j
+
+
+def _assemble(poses, i_idx, j_idx, meas_inv, weights, num_nodes):
+    """Dense normal equations (H [6N, 6N], b [6N]) from all edges."""
+    r, j_i, j_j = jax.vmap(_edge_terms)(poses[i_idx], poses[j_idx], meas_inv)
+    w = weights[:, None, None]
+    h_ii = jnp.einsum("eki,ekj->eij", j_i, j_i * w)
+    h_jj = jnp.einsum("eki,ekj->eij", j_j, j_j * w)
+    h_ij = jnp.einsum("eki,ekj->eij", j_i, j_j * w)
+    b_i = jnp.einsum("eki,ek->ei", j_i, r * weights[:, None])
+    b_j = jnp.einsum("eki,ek->ei", j_j, r * weights[:, None])
+
+    n6 = num_nodes * 6
+    h = jnp.zeros((num_nodes, num_nodes, 6, 6), poses.dtype)
+    h = h.at[i_idx, i_idx].add(h_ii)
+    h = h.at[j_idx, j_idx].add(h_jj)
+    h = h.at[i_idx, j_idx].add(h_ij)
+    h = h.at[j_idx, i_idx].add(jnp.swapaxes(h_ij, -1, -2))
+    b = jnp.zeros((num_nodes, 6), poses.dtype)
+    b = b.at[i_idx].add(b_i)
+    b = b.at[j_idx].add(b_j)
+    h = jnp.transpose(h, (0, 2, 1, 3)).reshape(n6, n6)
+    return h, b.reshape(n6)
+
+
+@partial(jax.jit, static_argnames=("num_iterations",))
+def optimize_pose_graph(poses: Array, i_idx: Array, j_idx: Array,
+                        measurements: Array, weights: Array | None = None,
+                        num_iterations: int = 10,
+                        damping: float = 1e-6) -> Array:
+    """Gauss-Newton pose-graph solve.
+
+    poses [N, 4, 4] initial; edges (i_idx [E], j_idx [E] int32,
+    measurements [E, 4, 4] = measured T_i⁻¹ T_j, weights [E]).
+    Returns optimized poses [N, 4, 4] with node 0 gauge-fixed.
+    """
+    num_nodes = poses.shape[0]
+    if weights is None:
+        weights = jnp.ones(i_idx.shape[0], poses.dtype)
+    meas_inv = se3.inverse(measurements)
+
+    def step(poses, _):
+        h, b = _assemble(poses, i_idx, j_idx, meas_inv, weights, num_nodes)
+        n6 = num_nodes * 6
+        # gauge prior on node 0 + Levenberg damping
+        prior = jnp.zeros(n6, poses.dtype).at[:6].set(1e6)
+        h = h + jnp.diag(prior + damping) + damping * jnp.eye(n6, dtype=poses.dtype)
+        delta = -jnp.linalg.solve(h, b).reshape(num_nodes, 6)
+        new_poses = poses @ se3.exp_se3(delta)
+        return new_poses, None
+
+    poses, _ = jax.lax.scan(step, poses, None, length=num_iterations)
+    return poses
+
+
+def optimize_pose_graph_sharded(poses: Array, i_idx: Array, j_idx: Array,
+                                measurements: Array, weights: Array,
+                                mesh, num_iterations: int = 10,
+                                axis: str = "data") -> Array:
+    """Edge-sharded pose graph: each device assembles (H, b) for its edge
+    shard; psum over ICI; replicated dense solve. Edge count must divide
+    the mesh size."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    num_nodes = poses.shape[0]
+    meas_inv = se3.inverse(measurements)
+
+    def solve(poses, i_s, j_s, m_s, w_s):
+        def step(poses, _):
+            h, b = _assemble(poses, i_s, j_s, m_s, w_s, num_nodes)
+            h = jax.lax.psum(h, axis)
+            b = jax.lax.psum(b, axis)
+            n6 = num_nodes * 6
+            prior = jnp.zeros(n6, poses.dtype).at[:6].set(1e6)
+            h = h + jnp.diag(prior) + 1e-6 * jnp.eye(n6, dtype=poses.dtype)
+            delta = -jnp.linalg.solve(h, b).reshape(num_nodes, 6)
+            return poses @ se3.exp_se3(delta), None
+
+        out, _ = jax.lax.scan(step, poses, None, length=num_iterations)
+        return out
+
+    fn = shard_map(
+        solve, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return fn(poses, i_idx, j_idx, meas_inv, weights)
+
+
+def trajectory_ate(gt_poses: Array, est_poses: Array) -> Array:
+    """Absolute trajectory error (RMSE of translation after gauge align on
+    node 0)."""
+    align = gt_poses[0] @ se3.inverse(est_poses[0])
+    est_aligned = jnp.einsum("ij,njk->nik", align, est_poses)
+    diff = se3.trans_of(gt_poses) - se3.trans_of(est_aligned)
+    return jnp.sqrt(jnp.mean(jnp.sum(diff**2, axis=-1)))

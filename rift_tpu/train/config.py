@@ -129,6 +129,13 @@ def presets() -> dict[str, ExperimentConfig]:
                 suffix = "cu_dg" if kn == "dgcnn_kernel" else "cu_pt"
                 cfg.name = f"reg_{mode}_{method}_{suffix}"
                 out[cfg.name] = cfg
+    # ShapeNet part segmentation (ref: configs/shapenet/pvcnn + rot_with_ppf)
+    seg = ExperimentConfig(name="shapenet_seg")
+    seg.model.num_classes = 50
+    seg.model.with_se = False
+    seg.dataset.num_points = 2048
+    seg.train.batch_size = 8
+    out[seg.name] = seg
     # tiny smoke preset for CI / CPU runs
     tiny = ExperimentConfig(name="tiny_smoke")
     tiny.model.blocks = ((16, 1, 8), (32, 1, None))

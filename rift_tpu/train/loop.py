@@ -109,6 +109,107 @@ def train(config: ExperimentConfig, resume: bool = True) -> dict:
     return {"state": state, "best": best}
 
 
+def train_segmentation(config: ExperimentConfig, shapenet_config=None,
+                       resume: bool = True) -> dict:
+    """ShapeNet part-segmentation training (ref: §3.4 same harness with the
+    seg model + IoU meter)."""
+    import optax
+
+    from ..data.shapenet import ShapeNetConfig, get_shapenet
+    from ..models import ShapeNetPVCNN
+    from .meters import MeterShapeNetIoU
+    from .steps import TrainState, make_optimizer
+
+    log = get_logger(config.name)
+    writer = MetricWriter(config.train.ckpt_dir, config.name)
+    sn_cfg = shapenet_config or ShapeNetConfig(num_points=config.dataset.num_points)
+    datasets = get_shapenet(sn_cfg)
+    m = config.model
+    model = ShapeNetPVCNN(
+        blocks=tuple(tuple(b) for b in m.blocks),
+        point_kernel_formal=m.point_kernel_formal,
+        voxel_shape=m.voxel_shape,
+        rot_invariant_preprocess=m.rot_invariant_preprocess,
+        with_local_feat=bool(m.with_local_feat),
+        local_neighbors=m.local_neighbors,
+        width_multiplier=m.width_multiplier,
+    )
+    steps_per_epoch = max(len(datasets["train"]) // config.train.batch_size, 1)
+    if config.train.steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, config.train.steps_per_epoch)
+
+    clouds, labels = next(datasets["train"].batches(config.train.batch_size, 0))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(config.seed),
+         "dropout": jax.random.PRNGKey(config.seed + 1)},
+        jnp.asarray(clouds), train=False,
+    )
+    tx = make_optimizer(config, steps_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+
+    @jax.jit
+    def seg_step(state, clouds, labels, rng):
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                clouds, train=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            logp = jax.nn.log_softmax(out)
+            loss = -jnp.mean(
+                jnp.take_along_axis(logp, labels[..., None], axis=-1)
+            )
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=new_params,
+                             batch_stats=new_stats, opt_state=new_opt), loss, logits
+
+    rng = jax.random.PRNGKey(config.seed)
+    best: dict = {}
+    ckpt = CheckpointManager(config.train.ckpt_dir)
+    for epoch in range(config.optim.num_epochs):
+        t0 = time.time()
+        losses = []
+        for i, (clouds, labels) in enumerate(
+            datasets["train"].batches(config.train.batch_size, seed=epoch)
+        ):
+            if i >= steps_per_epoch:
+                break
+            state, loss, _ = seg_step(state, jnp.asarray(clouds),
+                                      jnp.asarray(labels), rng)
+            losses.append(float(loss))
+        meter = MeterShapeNetIoU()
+        for clouds, labels in datasets["test"].batches(
+            config.train.eval_batch_size, seed=0, shuffle=False, drop_last=False
+        ):
+            logits = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                jnp.asarray(clouds), train=False,
+            )
+            meter.update(np.asarray(logits), labels)
+        iou = meter.compute()
+        writer.write(step=int(state.step), epoch=epoch, split="train",
+                     loss=float(np.mean(losses)), iou=iou, sec=time.time() - t0)
+        log.info("seg epoch %d: loss %.4f mIoU %.4f", epoch,
+                 float(np.mean(losses)), iou)
+        if iou >= best.get("iou", -1.0):
+            best["iou"] = iou
+            ckpt.save_best("iou", state, best, config)
+        ckpt.save_common(state, best, config)
+    return {"state": state, "best": best}
+
+
 def evaluate_classification(state, eval_step, dataset, config) -> float:
     meter = MeterClassification()
     for clouds, labels in dataset.batches(

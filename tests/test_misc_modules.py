@@ -1,0 +1,114 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rift_tpu.nn.pointnet2 import PointNetAModule, PointNetFPModule, PointNetSAModule
+from rift_tpu.ops.fpfh import fpfh
+from rift_tpu.ops.losses import chamfer_distance, huber_loss, kl_loss
+from rift_tpu.registration.metrics import rpmnet_metrics
+from rift_tpu.utils import (
+    save_correspondences_ply,
+    save_pcd_ply,
+    save_registration_ply,
+)
+
+
+def test_losses(rng):
+    x = jnp.asarray(rng.randn(4, 10).astype(np.float32))
+    y = jax.nn.softmax(jnp.asarray(rng.randn(4, 10).astype(np.float32)))
+    assert float(kl_loss(x, y)) > 0
+    assert float(kl_loss(jnp.log(y) if False else x, x * 0 + y)) >= 0
+    err = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 2.0])
+    h = float(huber_loss(err, delta=1.0))
+    want = np.mean([1.5, 0.125, 0.0, 0.125, 1.5])
+    np.testing.assert_allclose(h, want, atol=1e-6)
+
+
+def test_chamfer_zero_for_identical(rng):
+    a = jnp.asarray(rng.randn(1, 50, 3).astype(np.float32))
+    assert float(chamfer_distance(a, a)[0]) < 1e-6
+
+
+def test_rpmnet_metrics_keys(rng):
+    pts = jnp.asarray(rng.randn(2, 30, 3).astype(np.float32))
+    eye = jnp.broadcast_to(jnp.eye(4), (2, 4, 4))
+    m = rpmnet_metrics(pts, pts, eye, eye)
+    for key in ("r_mse", "r_mae", "t_mse", "t_mae", "err_r_deg", "err_t", "chamfer"):
+        assert key in m
+        assert float(jnp.max(m[key])) < 1e-5
+
+
+def test_pointnet2_modules(rng):
+    b, n, c = 2, 64, 8
+    coords = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+
+    sa = PointNetSAModule(num_centers=16, radii=(0.5, 1.0),
+                          num_neighbors=(8, 16), mlps=((16,), (16,)))
+    v = sa.init(jax.random.PRNGKey(0), feats, coords)
+    out, centers = sa.apply(v, feats, coords)
+    assert out.shape == (b, 16, 32)
+    assert centers.shape == (b, 16, 3)
+
+    am = PointNetAModule(mlp=(32,))
+    v = am.init(jax.random.PRNGKey(0), feats, coords)
+    pooled = am.apply(v, feats, coords)
+    assert pooled.shape == (b, 32)
+
+    fp = PointNetFPModule(mlp=(24,))
+    v = fp.init(jax.random.PRNGKey(0), coords, centers, out, feats)
+    dense = fp.apply(v, coords, centers, out, feats)
+    assert dense.shape == (b, n, 24)
+
+
+def test_fpfh_rotation_invariance(rng):
+    from rift_tpu.ops import se3
+
+    pts = rng.randn(1, 128, 3).astype(np.float32) * 0.2
+    nrm = rng.randn(1, 128, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    rot = np.asarray(se3.random_so3(jax.random.PRNGKey(5)))
+    f1 = np.asarray(fpfh(jnp.asarray(pts), jnp.asarray(nrm)))
+    f2 = np.asarray(fpfh(jnp.asarray(pts @ rot.T), jnp.asarray(nrm @ rot.T)))
+    assert f1.shape == (1, 128, 33)
+    # Hard radius cutoffs can flip individual boundary neighbors under f32
+    # rotation (Open3D behaves the same), so compare distributions, not
+    # elements: each descriptor carries mass 300.
+    diff = np.abs(f1 - f2)
+    assert diff.mean() < 2.0, diff.mean()
+    assert np.percentile(diff, 95) < 15.0
+
+
+def test_ply_export(tmp_path, rng):
+    pts = rng.randn(20, 3).astype(np.float32)
+    p1 = str(tmp_path / "cloud.ply")
+    save_pcd_ply(p1, pts)
+    assert os.path.getsize(p1) > 0
+    with open(p1) as f:
+        head = f.read(200)
+    assert "element vertex 20" in head
+    p2 = str(tmp_path / "reg.ply")
+    save_registration_ply(p2, pts, pts + 1.0, np.eye(4))
+    assert "element vertex 40" in open(p2).read(200)
+    p3 = str(tmp_path / "corr.ply")
+    save_correspondences_ply(p3, pts, pts, np.arange(5), np.arange(5))
+    content = open(p3).read()
+    assert "element edge 5" in content
+
+
+def test_seg_training_smoke(tmp_path):
+    from rift_tpu.data.shapenet import ShapeNetConfig
+    from rift_tpu.train import get_config
+    from rift_tpu.train.loop import train_segmentation
+
+    cfg = get_config("tiny_smoke")
+    cfg.train.ckpt_dir = str(tmp_path / "seg")
+    cfg.optim.num_epochs = 1
+    cfg.train.steps_per_epoch = 2
+    cfg.model.with_local_feat = None
+    sn = ShapeNetConfig(num_points=64,
+                        synthetic_items={"train": 8, "test": 4})
+    out = train_segmentation(cfg, shapenet_config=sn, resume=False)
+    assert "iou" in out["best"]

@@ -1,0 +1,145 @@
+"""Pallas one-hot-contraction kernels vs the XLA reference ops.
+
+Runs in interpret mode on CPU (hermetic); the same code compiles for TPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rift_tpu.ops.pallas import (
+    corner_gather_pallas,
+    corner_scatter_pallas,
+    scatter_mean_pallas,
+    spherical_avg_voxelize_fast,
+    spherical_trilinear_devoxelize_fast,
+)
+from rift_tpu.ops.spherical import (
+    spherical_avg_voxelize,
+    spherical_trilinear_devoxelize,
+)
+from rift_tpu.ops.voxelize import scatter_mean
+
+
+def test_scatter_mean_pallas_matches_xla(rng):
+    b, n, c, s = 2, 128, 16, 64
+    feat = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    inds = jnp.asarray(rng.randint(-1, s, (b, n)).astype(np.int32))
+    out, cnt = scatter_mean_pallas(feat, inds, s, tile=32)
+    want = scatter_mean(feat, jnp.maximum(inds, 0), s, valid=inds >= 0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+    # counts
+    want_cnt = np.zeros((b, s))
+    for i in range(b):
+        for j in range(n):
+            if int(inds[i, j]) >= 0:
+                want_cnt[i, int(inds[i, j])] += 1
+    np.testing.assert_allclose(np.asarray(cnt), want_cnt)
+
+
+def test_corner_gather_scatter_roundtrip(rng):
+    b, n, c, s = 1, 64, 8, 128
+    grid = jnp.asarray(rng.randn(b, s, c).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, s, (b, n, 8)).astype(np.int32))
+    idx = idx.at[0, 3].set(-1)  # undefined point
+    w = jnp.asarray(rng.rand(b, n, 8).astype(np.float32))
+    out = corner_gather_pallas(grid, idx, w, tile=32)
+    # numpy oracle
+    want = np.zeros((b, n, c), np.float32)
+    for i in range(n):
+        for k in range(8):
+            if int(idx[0, i, k]) >= 0:
+                want[0, i] += float(w[0, i, k]) * np.asarray(grid)[0, int(idx[0, i, k])]
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+    # transpose kernel: <scatter(dout), grid> == <dout, gather(grid)>
+    dout = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    dgrid = corner_scatter_pallas(dout, idx, w, s, tile=32)
+    lhs = float(jnp.sum(dgrid * grid))
+    rhs = float(jnp.sum(dout * out))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_spherical_fast_matches_reference(rng):
+    r = 4  # r^3 = 64 segments; tile must divide it
+    b, n, c = 2, 96, 8
+    coords = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+    feat = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    grid1, inds1, nc1 = spherical_avg_voxelize(feat, coords, r)
+    # patch tile sizes small enough for r^3=64
+    from rift_tpu.ops.pallas import spherical_fast as sf
+    from rift_tpu.ops.pallas import onehot_ops as oo
+    import functools
+
+    grid2_flat = oo.scatter_mean_pallas(feat, inds1, r**3, tile=32)[0]
+    np.testing.assert_allclose(
+        np.asarray(grid2_flat.reshape(grid1.shape)), np.asarray(grid1), atol=1e-4
+    )
+    out1 = spherical_trilinear_devoxelize(grid1, nc1, inds1, r)
+    from rift_tpu.ops.spherical import spherical_corner_weights
+
+    idx, w = spherical_corner_weights(nc1, inds1, r)
+    out2 = oo.corner_gather_pallas(
+        grid1.reshape(b, r**3, c), idx, w, tile=32
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=1e-4)
+    del sf, functools
+
+
+def test_fast_path_gradients_match_xla(rng):
+    r = 4
+    b, n, c = 1, 48, 4
+    coords = jnp.asarray(rng.randn(b, n, 3).astype(np.float32))
+    feat = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+
+    def loss_ref(f):
+        g, i, nc = spherical_avg_voxelize(f, coords, r)
+        return jnp.sum(spherical_trilinear_devoxelize(g, nc, i, r) ** 2)
+
+    def loss_fast(f):
+        from rift_tpu.ops.pallas import onehot_ops as oo
+        from rift_tpu.ops.pallas.spherical_fast import (
+            _corner_gather_diff,
+            _scatter_mean_diff,
+        )
+        from rift_tpu.ops.spherical import (
+            normalize_coords_sphere,
+            spherical_corner_weights,
+            spherical_voxel_indices,
+        )
+
+        nc = normalize_coords_sphere(coords)
+        inds, _ = spherical_voxel_indices(nc, r)
+        # small tiles for the tiny test grid
+        import functools
+        flat = oo.scatter_mean_pallas(f, inds, r**3, tile=32)[0]
+        idx, w = spherical_corner_weights(nc, inds, r)
+        out = oo.corner_gather_pallas(flat, idx, w, tile=32)
+        del _corner_gather_diff, _scatter_mean_diff, functools
+        return jnp.sum(out**2)
+
+    np.testing.assert_allclose(float(loss_ref(feat)), float(loss_fast(feat)),
+                               rtol=1e-5)
+    g_ref = jax.grad(loss_ref)(feat)
+    # gradient through the custom-vjp fast path (default tiles need r^3
+    # divisible; use the diff wrappers directly with the monkeypatched call)
+    from rift_tpu.ops.pallas import spherical_fast as sf
+
+    def loss_fast_vjp(f):
+        grid, inds, nc = sf.spherical_avg_voxelize_fast(f, coords, r)
+        out = sf.spherical_trilinear_devoxelize_fast(grid, nc, inds, r)
+        return jnp.sum(out**2)
+
+    # r^3=64 with default tile 512 fails the divisibility assert; patch tiles
+    import rift_tpu.ops.pallas.onehot_ops as oo
+
+    orig_sm, orig_cg = oo.scatter_mean_pallas, oo.corner_gather_pallas
+    orig_cs = oo.corner_scatter_pallas
+    try:
+        sf.scatter_mean_pallas = lambda f_, i_, s_: orig_sm(f_, i_, s_, tile=32)
+        sf.corner_gather_pallas = lambda g_, i_, w_: orig_cg(g_, i_, w_, tile=32)
+        sf.corner_scatter_pallas = lambda d_, i_, w_, s_: orig_cs(d_, i_, w_, s_, tile=32)
+        g_fast = jax.grad(loss_fast_vjp)(feat)
+    finally:
+        sf.scatter_mean_pallas = orig_sm
+        sf.corner_gather_pallas = orig_cg
+        sf.corner_scatter_pallas = orig_cs
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-4)

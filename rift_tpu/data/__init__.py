@@ -7,4 +7,6 @@ from .registration_pairs import (  # noqa: F401
     SyntheticPairs,
     get_pairs,
 )
+from .mn40_hdf import Mn40HdfConfig, ModelNetHdf  # noqa: F401
+from .modelnet40_4class import ModelNet40FourClass, reflection_label  # noqa: F401
 from . import synthetic, transforms  # noqa: F401

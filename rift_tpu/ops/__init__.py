@@ -3,6 +3,7 @@ of the reference's CUDA extension `_multi_shape_pvcnn_backend`
 (SURVEY.md §2.4). All ops are pure, jittable, channels-last.
 """
 from . import se3  # noqa: F401
+from .frustum import frustum_pointnet_loss, get_box_corners_3d  # noqa: F401
 from .lrf import change_coords, global_lrf, local_lrf, pca_align  # noqa: F401
 from .neighbors import (  # noqa: F401
     ball_group,
@@ -10,6 +11,7 @@ from .neighbors import (  # noqa: F401
     bilateral_knn,
     grouping,
     knn,
+    knn_select,
     mutual_nearest_neighbors,
     pairwise_sqdist,
     three_nn_interpolate,

@@ -66,6 +66,21 @@ def bilateral_knn(xyz1: Array, xyz2: Array, k: int
     return d1, d2, i1, i2
 
 
+def knn_select(xyz1: Array, xyz2: Array, k: int, bilateral: bool = True,
+               return_distance: bool = True, return_index: bool = True):
+    """Convenience combinations over bilateral KNN, returning *euclidean*
+    distances (ref `PVCNN/modules/knn.py` knnModule:4-26)."""
+    d1, d2, i1, i2 = bilateral_knn(xyz1, xyz2, k)
+    d1, d2 = jnp.sqrt(d1), jnp.sqrt(d2)
+    if return_distance and return_index:
+        return (d1, d2, i1, i2) if bilateral else (d1, i1)
+    if return_distance:
+        return (d1, d2) if bilateral else d1
+    if return_index:
+        return (i1, i2) if bilateral else i1
+    return None
+
+
 def ball_query(centers: Array, points: Array, radius: float, num_neighbors: int
                ) -> Array:
     """Fixed-radius neighbor indices, reference-parity semantics.

@@ -13,7 +13,9 @@ from .config import (  # noqa: F401
 from .loop import build_model, evaluate_registration, train  # noqa: F401
 from .meters import (  # noqa: F401
     MeterClassification,
+    MeterReflection,
     MeterRegistration,
+    MeterRPMNet,
     MeterShapeNetIoU,
 )
 from .steps import TrainState, create_state, make_eval_step, make_train_step  # noqa: F401

@@ -47,6 +47,53 @@ class MeterRegistration:
         return {k: v / n for k, v in self.sums.items()}
 
 
+class MeterRPMNet:
+    """RPM-Net metric family accumulator (ref: mn40_hdf.py:274-478 meter):
+    r_mse/r_mae/t_mse/t_mae are root-mean/mean of squared/absolute
+    components, err_r_deg/err_t/chamfer are plain means."""
+
+    KEYS = ("r_mse", "r_mae", "t_mse", "t_mae", "err_r_deg", "err_t", "chamfer")
+
+    def __init__(self):
+        self.sums = {k: 0.0 for k in self.KEYS}
+        self.num = 0
+
+    def update(self, metrics: dict) -> None:
+        first = np.asarray(metrics["err_r_deg"])
+        batch = first.shape[0] if first.ndim else 1
+        for key in self.KEYS:
+            self.sums[key] += float(np.sum(np.asarray(metrics[key])))
+        self.num += batch
+
+    def compute(self) -> dict:
+        n = max(self.num, 1)
+        out = {k: v / n for k, v in self.sums.items()}
+        out["r_mse"] = float(np.sqrt(out["r_mse"]))  # reported as RMSE
+        out["t_mse"] = float(np.sqrt(out["t_mse"]))
+        return out
+
+
+class MeterReflection:
+    """Accuracy of the 4-way PCA-reflection head
+    (ref: modelnet40_4class.py MeterModelNet40: reflect_acc)."""
+
+    def __init__(self):
+        self.correct = 0
+        self.num = 0
+
+    def update(self, logits: np.ndarray, labels) -> None:
+        # labels may be the (class, reflection) tuple batch [b, 2]
+        labels = np.asarray(labels)
+        if labels.ndim == 2:
+            labels = labels[:, 1]
+        pred = np.argmax(np.asarray(logits), axis=-1)
+        self.correct += int((pred == labels).sum())
+        self.num += len(labels)
+
+    def compute(self) -> dict:
+        return {"reflect_acc": self.correct / max(self.num, 1)}
+
+
 class MeterShapeNetIoU:
     """Mean IoU over parts, averaged per shape then over shapes
     (ref: shapenet.py:177-199 semantics: IoU of each part present in the

@@ -42,6 +42,7 @@ def main() -> None:
         rot_invariant_preprocess="change_coords", with_local_feat="ppf",
         extra_feature_channels=4, local_neighbors=128,
         with_coeff=True, with_se=True,
+        dtype="bfloat16",  # conv/MLP stacks on the MXU at bf16; geometry f32
     )
 
     pairs = SyntheticPairs(num_pairs=batch_pairs, num_points=n_points,

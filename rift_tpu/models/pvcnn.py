@@ -51,6 +51,14 @@ class PVCNNClassifier(nn.Module):
     local_radius: float = 0.3
     local_neighbors: int = 128
     local_fuse_dim: int = 64
+    # Compute dtype for the conv/MLP stacks (params stay f32; the geometry
+    # preprocess — LRF, PPF, voxel binning — always runs f32). 'bfloat16'
+    # doubles MXU throughput for the 3-D convs on TPU.
+    dtype: str | None = None
+
+    @property
+    def _dtype(self):
+        return jnp.dtype(self.dtype) if self.dtype else None
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -72,7 +80,8 @@ class PVCNNClassifier(nn.Module):
             out_ch = int(out_ch * w)
             for _ in range(num_blocks):
                 if resolution is None:
-                    features = SharedMLP([out_ch])(features, train=train)
+                    features = SharedMLP([out_ch], dtype=self._dtype)(
+                        features, train=train)
                 else:
                     features = PVConv(
                         out_channels=out_ch,
@@ -82,10 +91,12 @@ class PVCNNClassifier(nn.Module):
                         with_coeff=self.with_coeff,
                         with_se=self.with_se,
                         normalize=False,  # ref: pvcnn_classify.py:84
+                        dtype=self._dtype,
                     )(features, coords, train=train)
 
         if not self.is_classify:
-            return features  # [b, n, dim_k] registration features
+            # Registration features feed f32 distance matching downstream.
+            return features.astype(jnp.float32)  # [b, n, dim_k]
 
         # Classifier head (ref: create_mlp_components [512, 0.2, 256, K]).
         pooled = jnp.max(features, axis=-2)  # [b, dim_k]
@@ -149,10 +160,12 @@ class PVCNNClassifier(nn.Module):
         if kind == "ppf":
             assert normals is not None, "'ppf' local features need normals"
             idx = ball_query(coords, coords, self.local_radius, self.local_neighbors)
-            nbr_c = grouping(coords, idx)
-            nbr_n = grouping(normals, idx)
+            # One fused gather for coords+normals (halves the one-hot matmuls).
+            nbr = grouping(jnp.concatenate([coords, normals], -1), idx)
+            nbr_c, nbr_n = nbr[..., :3], nbr[..., 3:]
             feats = local_ppf(nbr_c, nbr_n, coords, normals)  # [b, n, k, 4]
-            fused = SharedMLP([32, self.local_fuse_dim])(feats, train=train)
+            fused = SharedMLP([32, self.local_fuse_dim],
+                              dtype=self._dtype)(feats, train=train)
             return jnp.max(fused, axis=-2)  # [b, n, fuse_dim]
         if kind == "change_coords":
             # NOTE: the reference never defines the fuser for this option

@@ -44,14 +44,16 @@ class SE3d(nn.Module):
     channels-last [b, r, r, r, c]; reduction=8."""
 
     reduction: int = 8
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         squeezed = jnp.mean(x, axis=(-4, -3, -2))  # [b, c]
-        h = nn.Dense(max(c // self.reduction, 1), use_bias=False)(squeezed)
+        h = nn.Dense(max(c // self.reduction, 1), use_bias=False,
+                     dtype=self.dtype)(squeezed)
         h = nn.relu(h)
-        h = nn.Dense(c, use_bias=False)(h)
+        h = nn.Dense(c, use_bias=False, dtype=self.dtype)(h)
         gate = nn.sigmoid(h)
         return x * gate[..., None, None, None, :]
 
@@ -75,12 +77,18 @@ class PVConv(nn.Module):
     normalize: bool = True  # cube-path coordinate normalization
     eps: float = 0.0
     impl: str = "auto"  # 'auto' | 'xla' | 'pallas' voxelize/devox backend
+    dtype: jnp.dtype | None = None  # compute dtype (bf16 rides the MXU at 2x+)
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, coords: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
         b, n, c = features.shape
         r = self.resolution
+        if self.dtype is not None:
+            # The whole block computes in `dtype` anyway (convs/MLPs cast
+            # their inputs); casting before voxelization lets the one-hot
+            # scatter/gather contractions ride the MXU at bf16 rate.
+            features = features.astype(self.dtype)
 
         fast = _use_pallas(self.impl, r)
         if self.voxel_shape == "cube":
@@ -96,11 +104,15 @@ class PVConv(nn.Module):
         # Voxel branch: Conv3d(k)+BN(1e-4)+LeakyReLU(0.1) ×2 (+SE).
         v = grid
         for _ in range(2):
-            v = nn.Conv(self.out_channels, (self.kernel_size,) * 3, padding="SAME")(v)
-            v = nn.BatchNorm(use_running_average=not train, epsilon=1e-4)(v)
+            v = nn.Conv(self.out_channels, (self.kernel_size,) * 3,
+                        padding="SAME", dtype=self.dtype)(v)
+            v = nn.BatchNorm(use_running_average=not train, epsilon=1e-4,
+                             dtype=self.dtype)(v)
             v = nn.leaky_relu(v, negative_slope=0.1)
         if self.with_se:
-            v = SE3d()(v)
+            v = SE3d(dtype=self.dtype)(v)
+        if self.dtype is None:
+            v = v.astype(grid.dtype)  # devoxelize in the block's precision
 
         if self.voxel_shape == "cube":
             voxel_features = trilinear_devoxelize(v, grid_coords, r)
@@ -111,7 +123,7 @@ class PVConv(nn.Module):
 
         # Point branch.
         if self.point_kernel_formal == "dgcnn_kernel":
-            flat = grid.reshape(b, r * r * r, grid.shape[-1])
+            flat = grid.reshape(b, r * r * r, grid.shape[-1]).astype(features.dtype)
             mask = inds < 0  # undefined spherical points (pvconv.py:73)
             safe_inds = jnp.where(mask, 0, inds)
             center = jnp.take_along_axis(flat, safe_inds[..., None], axis=-2)
@@ -121,7 +133,8 @@ class PVConv(nn.Module):
             point_in = features
         else:
             raise ValueError(f"unknown point_kernel_formal {self.point_kernel_formal!r}")
-        point_features = SharedMLP([self.out_channels])(point_in, train=train)
+        point_features = SharedMLP([self.out_channels],
+                                   dtype=self.dtype)(point_in, train=train)
 
         if self.with_coeff:
             coeff = self.param("coefficient", lambda _: jnp.ones((), jnp.float32))

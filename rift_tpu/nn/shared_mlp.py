@@ -22,13 +22,15 @@ class SharedMLP(nn.Module):
 
     features: Sequence[int]
     bn_eps: float = 1e-5
+    dtype: jnp.dtype | None = None  # compute dtype (e.g. bf16); params stay f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for width in self.features:
-            x = nn.Dense(width)(x)
+            x = nn.Dense(width, dtype=self.dtype)(x)
             x = nn.BatchNorm(
-                use_running_average=not train, epsilon=self.bn_eps
+                use_running_average=not train, epsilon=self.bn_eps,
+                dtype=self.dtype,
             )(x)
             x = nn.relu(x)
         return x

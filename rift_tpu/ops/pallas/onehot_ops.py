@@ -43,7 +43,8 @@ def _scatter_kernel(inds_ref, feat_ref, out_ref, cnt_ref, *, tile: int):
     tile_ids = t * tile + jax.lax.broadcasted_iota(jnp.int32, (tile, n), 0)
     mask = (tile_ids == inds[None, :]).astype(feat.dtype)   # [T, n]
     sums = jnp.dot(mask, feat, preferred_element_type=jnp.float32)  # MXU
-    cnt = jnp.sum(mask, axis=1)                 # [T]
+    # Count in f32: a bf16 accumulator can only represent integers <= 256.
+    cnt = jnp.sum(mask.astype(jnp.float32), axis=1)          # [T]
     inv = jnp.where(cnt > 0, 1.0 / jnp.maximum(cnt, 1.0), 0.0)
     out_ref[0, :, :] = sums * inv[:, None]
     cnt_ref[0, 0, :] = cnt

@@ -37,17 +37,18 @@ def _scatter_mean_diff(features: Array, inds: Array, num_segments: int) -> Array
 
 def _scatter_mean_fwd(features, inds, num_segments):
     out, cnt = scatter_mean_pallas(features, inds, num_segments)
-    return out, (inds, cnt)
+    return out, (inds, cnt, jnp.zeros((0,), features.dtype))
 
 
 def _scatter_mean_bwd(num_segments, res, g):
-    inds, cnt = res
+    inds, cnt, proto = res
+    in_dtype = proto.dtype
     safe = jnp.maximum(inds, 0)
     g_rows = jnp.take_along_axis(g, safe[..., None], axis=-2)
     cnt_rows = jnp.take_along_axis(cnt, safe, axis=-1)
     inv = jnp.where(cnt_rows > 0, 1.0 / jnp.maximum(cnt_rows, 1.0), 0.0)
     dfeat = jnp.where((inds >= 0)[..., None], g_rows * inv[..., None], 0.0)
-    return dfeat, None
+    return dfeat.astype(in_dtype), None
 
 
 _scatter_mean_diff.defvjp(_scatter_mean_fwd, _scatter_mean_bwd)
@@ -71,13 +72,15 @@ def _corner_gather_diff(grid_flat: Array, idx: Array, w: Array,
 
 
 def _corner_gather_fwd(grid_flat, idx, w, num_segments):
-    return _corner_gather_xla(grid_flat, idx, w), (idx, w)
+    return _corner_gather_xla(grid_flat, idx, w), (
+        idx, w, jnp.zeros((0,), grid_flat.dtype))
 
 
 def _corner_gather_bwd(num_segments, res, g):
-    idx, w = res
-    dgrid = corner_scatter_pallas(g, idx, w, num_segments)
-    return dgrid, None, None
+    idx, w, proto = res
+    in_dtype = proto.dtype
+    dgrid = corner_scatter_pallas(g.astype(jnp.float32), idx, w, num_segments)
+    return dgrid.astype(in_dtype), None, None
 
 
 _corner_gather_diff.defvjp(_corner_gather_fwd, _corner_gather_bwd)

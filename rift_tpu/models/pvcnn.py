@@ -55,6 +55,11 @@ class PVCNNClassifier(nn.Module):
     # preprocess — LRF, PPF, voxel binning — always runs f32). 'bfloat16'
     # doubles MXU throughput for the 3-D convs on TPU.
     dtype: str | None = None
+    # Eval-time fused Pallas path for the local-PPF branch (ball query + PPF
+    # + folded MLP + max in one VMEM-resident kernel, no HBM intermediates).
+    # 'auto' = on TPU at eval when shapes tile; 'always' (tests, interpret
+    # mode off-TPU); 'never'. Training always uses the unfused AD-able path.
+    fused_local_ppf: str = "auto"
 
     @property
     def _dtype(self):
@@ -159,13 +164,15 @@ class PVCNNClassifier(nn.Module):
         kind = self.with_local_feat
         if kind == "ppf":
             assert normals is not None, "'ppf' local features need normals"
+            mlp = SharedMLP([32, self.local_fuse_dim], dtype=self._dtype)
+            if self._use_fused_local_ppf(mlp, coords, train):
+                return self._fused_local_ppf(mlp, coords, normals)
             idx = ball_query(coords, coords, self.local_radius, self.local_neighbors)
             # One fused gather for coords+normals (halves the one-hot matmuls).
             nbr = grouping(jnp.concatenate([coords, normals], -1), idx)
             nbr_c, nbr_n = nbr[..., :3], nbr[..., 3:]
             feats = local_ppf(nbr_c, nbr_n, coords, normals)  # [b, n, k, 4]
-            fused = SharedMLP([32, self.local_fuse_dim],
-                              dtype=self._dtype)(feats, train=train)
+            fused = mlp(feats, train=train)
             return jnp.max(fused, axis=-2)  # [b, n, fuse_dim]
         if kind == "change_coords":
             # NOTE: the reference never defines the fuser for this option
@@ -183,6 +190,51 @@ class PVCNNClassifier(nn.Module):
                 desc, train=train
             )
         raise ValueError(f"unknown with_local_feat {kind!r}")
+
+
+    # ------------------------------------------------------------------ #
+    def _use_fused_local_ppf(self, mlp, coords, train) -> bool:
+        """Eligibility of the fused Pallas local-PPF path: eval-mode apply
+        (params already exist), tileable n, TPU (or forced for tests)."""
+        import jax
+
+        if self.fused_local_ppf == "never" or train or self.is_initializing():
+            return False
+        if coords.shape[-2] % 128 != 0:
+            return False
+        params = self.variables.get("params", {})
+        stats = self.variables.get("batch_stats", {})
+        if mlp.name not in params or mlp.name not in stats:
+            return False
+        if self.fused_local_ppf == "always":
+            return True
+        return jax.default_backend() == "tpu"
+
+    def _fused_local_ppf(self, mlp, coords, normals):
+        """Run the local-PPF branch via the single-pass Pallas kernel with the
+        SharedMLP's Dense+BatchNorm folded to two affines (eval semantics)."""
+        from ..ops.pallas.local_ppf_fused import fold_dense_bn, local_ppf_fused
+
+        p = self.variables["params"][mlp.name]
+        bs = self.variables["batch_stats"][mlp.name]
+        w1, b1 = fold_dense_bn(
+            p["Dense_0"]["kernel"], p["Dense_0"]["bias"],
+            p["BatchNorm_0"]["scale"], p["BatchNorm_0"]["bias"],
+            bs["BatchNorm_0"]["mean"], bs["BatchNorm_0"]["var"],
+            eps=mlp.bn_eps,
+        )
+        w2, b2 = fold_dense_bn(
+            p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+            p["BatchNorm_1"]["scale"], p["BatchNorm_1"]["bias"],
+            bs["BatchNorm_1"]["mean"], bs["BatchNorm_1"]["var"],
+            eps=mlp.bn_eps,
+        )
+        precision = "bf16" if self._dtype == jnp.bfloat16 else "f32"
+        return local_ppf_fused(
+            coords, normals, w1, b1, w2, b2,
+            radius=self.local_radius, max_neighbors=self.local_neighbors,
+            precision=precision,
+        )
 
 
 def global_lrf_basis(coords: jnp.ndarray) -> jnp.ndarray:

@@ -87,3 +87,24 @@ def test_pointnet_classifier(rng):
     x = jnp.asarray(rng.randn(2, 32, 3).astype(np.float32))
     out, _, _ = _init_and_apply(model, x)
     assert out.shape == (2, 40)
+
+
+def test_fused_local_ppf_model_parity(rng):
+    """Eval forward with the fused Pallas local-PPF path == unfused path."""
+    kw = dict(
+        blocks=TINY_BLOCKS, dim_k=16, is_classify=False,
+        point_kernel_formal="dgcnn_kernel", voxel_shape="spherical",
+        rot_invariant_preprocess="change_coords", with_local_feat="ppf",
+        extra_feature_channels=4, local_neighbors=16,
+        with_coeff=True, with_se=True,
+    )
+    ref = PVCNNClassifier(fused_local_ppf="never", **kw)
+    fused = PVCNNClassifier(fused_local_ppf="always", **kw)
+    x = rng.randn(1, 128, 6).astype(np.float32)
+    x[..., 3:] /= np.linalg.norm(x[..., 3:], axis=-1, keepdims=True)
+    x = jnp.asarray(x)
+    variables = ref.init(jax.random.PRNGKey(0), x, train=False)
+    out_ref = ref.apply(variables, x, train=False)
+    out_fused = fused.apply(variables, x, train=False)  # same params
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               atol=5e-4, rtol=1e-3)

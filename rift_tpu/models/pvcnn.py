@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops.fpfh import fpfh
 from ..ops.lrf import change_coords, global_lrf, local_lrf, pca_align
-from ..ops.neighbors import ball_query, grouping
+from ..ops.neighbors import ball_query, ball_query_group, grouping
 from ..ops.ppf import global_ppf, local_ppf, new_ppf
 from ..nn.pvconv import PVConv
 from ..nn.shared_mlp import SharedMLP
@@ -57,8 +57,12 @@ class PVCNNClassifier(nn.Module):
     dtype: str | None = None
     # Eval-time fused Pallas path for the local-PPF branch (ball query + PPF
     # + folded MLP + max in one VMEM-resident kernel, no HBM intermediates).
-    # 'auto' = on TPU at eval when shapes tile; 'always' (tests, interpret
-    # mode off-TPU); 'never'. Training always uses the unfused AD-able path.
+    # Measured on v5e (b=128, n=1024, k=128): 216 ms vs 108 ms unfused — the
+    # kernel evaluates the MLP on all n² pairs (8x the rows of the k-neighbor
+    # path) and small-K matmuls are MXU-pass-bound, so 'auto' resolves to the
+    # unfused path. 'always' forces the kernel (parity tests / small k:n
+    # ratios where n²≈n·k); 'never' disables. Training always uses the
+    # unfused AD-able path.
     fused_local_ppf: str = "auto"
 
     @property
@@ -167,6 +171,21 @@ class PVCNNClassifier(nn.Module):
             mlp = SharedMLP([32, self.local_fuse_dim], dtype=self._dtype)
             if self._use_fused_local_ppf(mlp, coords, train):
                 return self._fused_local_ppf(mlp, coords, normals)
+            if not train:
+                # Eval: rank-select grouping skips lax.top_k's full sort
+                # (~44 ms/batch at flagship shapes). Same neighbor set; the
+                # zero-padded slots are masked out of the max. Training keeps
+                # the reference composition so BatchNorm sees the reference's
+                # duplicate-padded rows.
+                nbr, slot_ok = ball_query_group(
+                    coords, coords, jnp.concatenate([coords, normals], -1),
+                    self.local_radius, self.local_neighbors)
+                feats = local_ppf(nbr[..., :3], nbr[..., 3:], coords, normals)
+                fused = mlp(feats, train=False)
+                fused = jnp.where(slot_ok[..., None], fused,
+                                  -jnp.inf if fused.dtype == jnp.float32
+                                  else jnp.finfo(fused.dtype).min)
+                return jnp.max(fused, axis=-2)
             idx = ball_query(coords, coords, self.local_radius, self.local_neighbors)
             # One fused gather for coords+normals (halves the one-hot matmuls).
             nbr = grouping(jnp.concatenate([coords, normals], -1), idx)
@@ -195,9 +214,7 @@ class PVCNNClassifier(nn.Module):
     # ------------------------------------------------------------------ #
     def _use_fused_local_ppf(self, mlp, coords, train) -> bool:
         """Eligibility of the fused Pallas local-PPF path: eval-mode apply
-        (params already exist), tileable n, TPU (or forced for tests)."""
-        import jax
-
+        (params already exist), tileable n, explicitly requested."""
         if self.fused_local_ppf == "never" or train or self.is_initializing():
             return False
         if coords.shape[-2] % 128 != 0:
@@ -206,9 +223,11 @@ class PVCNNClassifier(nn.Module):
         stats = self.variables.get("batch_stats", {})
         if mlp.name not in params or mlp.name not in stats:
             return False
-        if self.fused_local_ppf == "always":
-            return True
-        return jax.default_backend() == "tpu"
+        # 'auto' currently resolves to the unfused path everywhere: the
+        # kernel computes MLP(ppf) for all n² pairs and measures ~2x slower
+        # than the k-neighbor composition at the flagship shapes (see class
+        # field comment). Flip here if k approaches n.
+        return self.fused_local_ppf == "always"
 
     def _fused_local_ppf(self, mlp, coords, normals):
         """Run the local-PPF branch via the single-pass Pallas kernel with the

@@ -8,6 +8,7 @@ from .lrf import change_coords, global_lrf, local_lrf, pca_align  # noqa: F401
 from .neighbors import (  # noqa: F401
     ball_group,
     ball_query,
+    ball_query_group,
     bilateral_knn,
     grouping,
     knn,

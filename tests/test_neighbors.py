@@ -94,3 +94,39 @@ def test_mutual_nn_matches_numpy_oracle(rng):
     np.testing.assert_array_equal(np.asarray(mask), want_mask)
     np.testing.assert_array_equal(np.asarray(idx2), c12)
     np.testing.assert_array_equal(np.asarray(idx1), np.arange(30))
+
+
+def test_ball_query_group_matches_composition(rng):
+    """Rank-select fused query+group == ball_query->grouping for any
+    duplicate-invariant reduction (max), including the no-neighbor fallback."""
+    from rift_tpu.ops.neighbors import ball_query, ball_query_group, grouping
+
+    b, n, u, radius = 2, 96, 12, 0.4
+    pts = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.5)
+    # add isolated points so the nearest-point fallback triggers
+    pts = pts.at[0, :3].add(50.0)
+    feats = jnp.asarray(rng.randn(b, n, 5).astype(np.float32))
+
+    idx = ball_query(pts, pts, radius, u)
+    ref = grouping(feats, idx)                        # [b, n, u, 5]
+    ref_max = jnp.max(ref, axis=-2)
+
+    got, slot_ok = ball_query_group(pts, pts, feats, radius, u)
+    assert got.shape == ref.shape
+    masked = jnp.where(slot_ok[..., None], got, -jnp.inf)
+    got_max = jnp.max(masked, axis=-2)
+    np.testing.assert_allclose(np.asarray(got_max), np.asarray(ref_max),
+                               atol=1e-5)
+    # every row has at least one valid slot (fallback fills slot 0)
+    assert bool(jnp.all(slot_ok[..., 0]))
+    # kept slots replicate the exact gathered rows (first-u, index order)
+    valid_ref = np.asarray(grouping(feats, idx))
+    got_np = np.asarray(got)
+    ok = np.asarray(slot_ok)
+    d2 = np.asarray(jnp.sum((pts[:, :, None] - pts[:, None]) ** 2, -1))
+    for bi in range(b):
+        for i in range(n):
+            cnt = int(((d2[bi, i] < radius**2) & (d2[bi, i] > 1e-5)).sum())
+            for s in range(min(cnt, u)):
+                np.testing.assert_allclose(got_np[bi, i, s],
+                                           valid_ref[bi, i, s], atol=1e-6)

@@ -32,7 +32,28 @@ def main(argv: list[str] | None = None) -> int:
 
     p_eval = sub.add_parser("evaluate", help="registration evaluation")
     p_eval.add_argument("--preset", default="reg_noise_teaserpp_cu_dg")
+    p_eval.add_argument("--ckpt", default=None, metavar="DIR",
+                        help="checkpoint directory to evaluate "
+                             "(ref: --eval_ckpt_pth)")
+    p_eval.add_argument("--best", default=None, metavar="METRIC",
+                        help="load best_<METRIC> instead of common "
+                             "(ref: --best_ckpt_to_test)")
+    p_eval.add_argument("--untrained", action="store_true",
+                        help="allow evaluating an untrained model "
+                             "(smoke runs only)")
     p_eval.add_argument("overrides", nargs="*")
+
+    p_ecls = sub.add_parser(
+        "evaluate-cls",
+        help="classification accuracy + SO(3) rotation-consistency "
+             "of a trained checkpoint")
+    p_ecls.add_argument("--preset", default="mn40_sph_dg")
+    p_ecls.add_argument("--ckpt", default=None, metavar="DIR")
+    p_ecls.add_argument("--best", default=None, metavar="METRIC")
+    p_ecls.add_argument("--rotations", type=int, default=4,
+                        help="rotation copies per cloud for the consistency "
+                             "meter (0 disables)")
+    p_ecls.add_argument("overrides", nargs="*")
 
     p_seg = sub.add_parser("train-seg", help="ShapeNet part segmentation")
     p_seg.add_argument("--preset", default="shapenet_seg")
@@ -56,7 +77,31 @@ def main(argv: list[str] | None = None) -> int:
         run_train(config, resume=not args.no_resume)
         return 0
     if args.command == "evaluate":
-        results = evaluate_registration(config)
+        import os
+
+        ckpt_dir = args.ckpt
+        ckpt_name = f"best_{args.best}" if args.best else None
+        if ckpt_dir is None and not args.untrained:
+            # Loud failure instead of silently scoring random weights
+            # (ref falls through best -> common -> error, train.py:231-243).
+            probe = os.path.join(
+                config.train.ckpt_dir, ckpt_name or config.evaluate.ckpt_name)
+            if not (config.evaluate.ckpt_dir or os.path.isdir(probe)):
+                parser.error(
+                    f"no checkpoint at {probe!r}; pass --ckpt DIR / --best "
+                    f"METRIC, or --untrained to score random weights")
+        results = evaluate_registration(config, ckpt_dir=ckpt_dir,
+                                         ckpt_name=ckpt_name)
+        for key, value in results.items():
+            print(f"{key}: {value:.6f}")
+        return 0
+    if args.command == "evaluate-cls":
+        from .train.loop import evaluate_classification_ckpt
+
+        ckpt_name = f"best_{args.best}" if args.best else None
+        results = evaluate_classification_ckpt(
+            config, ckpt_dir=args.ckpt, ckpt_name=ckpt_name,
+            rotations=args.rotations)
         for key, value in results.items():
             print(f"{key}: {value:.6f}")
         return 0

@@ -47,6 +47,28 @@ class CheckpointManager:
                   config) -> None:
         self._save(f"best_{metric_name}", state, best, config)
 
+    def load_meta(self, name: str = "common") -> dict | None:
+        """The JSON side file: {'best': {...}, 'config': <snapshot dict>}."""
+        path = self._path(name) + ".meta.json"
+        if not os.path.isfile(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def restore_raw(self, name: str = "common") -> dict | None:
+        """Template-free restore of the saved array pytree.
+
+        Returns {'step', 'params', 'batch_stats', 'opt_state'} as plain
+        dicts/arrays, or None if absent. Used by the evaluate path
+        (ref: `train.py:231-243` loads ckpt['model'] into a model whose
+        head may differ from the training head): evaluation needs only
+        params + batch_stats, so no optimizer template is required.
+        """
+        path = self._path(name)
+        if not os.path.isdir(path):
+            return None
+        return self._ckptr.restore(path)
+
     def restore(self, template_state: TrainState, name: str = "common"
                 ) -> tuple[TrainState, dict] | None:
         path = self._path(name)

@@ -41,6 +41,8 @@ class ModelConfig:
     with_transform_fine_tune: bool = False
     use_new_coords_for_voxel: bool = False
     local_neighbors: int = 128
+    dtype: str | None = None       # 'bfloat16' -> conv/MLP stacks on the MXU at bf16
+    fused_local_ppf: str = "auto"  # 'auto' | 'always' | 'never' (Pallas local-PPF)
 
 
 @dataclass
@@ -76,6 +78,14 @@ class EvalConfig:
     noise_bound: float = 0.02
     inlier_threshold: float = 0.08
     num_hypotheses: int = 1000     # ref RANSAC max_iter=1000
+    # Batched eval: pairs per jitted dispatch (one vmapped program per batch;
+    # the ref's per-pair loop `deepgmr_mn40.py:71-97` becomes ~2 dispatches
+    # per 100 pairs). 1 reproduces per-pair dispatch behavior.
+    batch_pairs: int = 64
+    # Checkpoint selection (ref: train.py:231-243 --eval_ckpt_pth /
+    # --best_ckpt_to_test / common fallback). None -> config.train.ckpt_dir.
+    ckpt_dir: str | None = None
+    ckpt_name: str = "common"      # or 'best_<metric>'
 
 
 @dataclass

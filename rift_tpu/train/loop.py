@@ -46,6 +46,8 @@ def build_model(config: ExperimentConfig) -> PVCNNClassifier:
         with_transform_fine_tune=m.with_transform_fine_tune,
         use_new_coords_for_voxel=m.use_new_coords_for_voxel,
         local_neighbors=m.local_neighbors,
+        dtype=m.dtype,
+        fused_local_ppf=m.fused_local_ppf,
     )
 
 
@@ -220,50 +222,223 @@ def evaluate_classification(state, eval_step, dataset, config) -> float:
     return meter.compute()
 
 
+def load_trained_state(ckpt_dir: str, name: str = "common"):
+    """Restore a trained checkpoint for evaluation: arrays (params +
+    batch_stats; opt_state discarded) plus the config snapshot saved next to
+    it. Ref: `train.py:231-243` loads ckpt['model'] by --eval_ckpt_pth /
+    --best_ckpt_to_test / common fallback."""
+    ckpt = CheckpointManager(ckpt_dir)
+    raw = ckpt.restore_raw(name)
+    if raw is None:
+        raise FileNotFoundError(
+            f"no checkpoint {name!r} under {ckpt_dir!r} "
+            f"(expected an orbax directory {ckpt_dir}/{name})")
+    from .steps import TrainState
+
+    state = TrainState(step=raw["step"], params=raw["params"],
+                       batch_stats=raw.get("batch_stats") or {},
+                       opt_state=None)
+    meta = ckpt.load_meta(name) or {}
+    return state, meta.get("config", {})
+
+
+def extractor_from_snapshot(config: ExperimentConfig, snapshot: dict
+                            ) -> PVCNNClassifier:
+    """Build the registration feature extractor with the *trained* trunk
+    architecture: the checkpoint's model config wins over the eval preset
+    (the trunk must match the weights; `is_classify` is forced off — the
+    classifier head params, if present, are simply unused by flax apply).
+    Ref: registration configs construct the same PVCNN_classifier the
+    checkpoint was trained as (deepgmr_mn40_cu_dg/__init__.py)."""
+    import dataclasses as _dc
+
+    from .config import ModelConfig
+
+    snap_model = dict(snapshot.get("model") or {})
+    if snap_model:
+        known = {f.name for f in _dc.fields(ModelConfig)}
+        mcfg = ModelConfig(**{k: v for k, v in snap_model.items() if k in known})
+    else:
+        mcfg = config.model
+    mcfg = _dc.replace(mcfg, is_classify=False)
+    eval_cfg = _dc.replace(config, model=mcfg)
+    return build_model(eval_cfg)
+
+
 def evaluate_registration(config: ExperimentConfig, state=None,
-                          model=None) -> dict:
+                          model=None, ckpt_dir: str | None = None,
+                          ckpt_name: str | None = None) -> dict:
     """Registration evaluation (ref: test_registration, deepgmr_mn40.py:71-97).
 
-    Per pair: per-point features from the frozen trunk -> mutual-NN ->
-    robust pose -> RRE/RTE/RMSE meter. If no trained state is supplied, an
-    untrained net is initialized (useful for smoke runs).
+    Batched TPU-native form of the reference's per-pair loop: per batch of
+    `evaluate.batch_pairs` pairs, ONE jitted program computes normals +
+    per-point features (both clouds of every pair in one forward) +
+    mutual-NN matching + robust pose for the whole batch; metrics reduce on
+    device. 100 pairs -> ceil(100/64) = 2 dispatches instead of ~200.
+
+    Checkpoint resolution order: explicit `state` > `ckpt_dir`/`ckpt_name`
+    (or evaluate.ckpt_dir/ckpt_name) > config.train.ckpt_dir's common ckpt
+    if present > untrained init (logged loudly; useful only for smoke runs).
     """
     log = get_logger(config.name)
     pairs = get_pairs(config.evaluate.pairs_path, config.evaluate.num_points,
                       config.evaluate.pairs_mode, config.evaluate.num_pairs)
+
+    ckpt_dir = ckpt_dir or config.evaluate.ckpt_dir
+    ckpt_name = ckpt_name or config.evaluate.ckpt_name or "common"
+    if state is None and ckpt_dir is None:
+        import os
+
+        probe = os.path.join(config.train.ckpt_dir, ckpt_name)
+        if os.path.isdir(probe):
+            ckpt_dir = config.train.ckpt_dir
+    if state is None and ckpt_dir is not None:
+        state, snapshot = load_trained_state(ckpt_dir, ckpt_name)
+        if model is None:
+            model = extractor_from_snapshot(config, snapshot)
+        log.info("restored %s/%s (step %d)", ckpt_dir, ckpt_name,
+                 int(np.asarray(state.step)))
     if model is None:
         model = build_model(config)
     if state is None:
+        log.warning("evaluating an UNTRAINED model (no checkpoint found; "
+                    "pass ckpt_dir or evaluate.ckpt_dir for trained features)")
         n = config.evaluate.num_points
         dummy = jnp.zeros((1, n, 6), jnp.float32)
         state, _ = create_state(model, config, dummy, 1, seed=config.seed)
-    eval_step = make_eval_step(model)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    method = config.evaluate.method
+    noise_bound = config.evaluate.noise_bound
+    inlier_threshold = config.evaluate.inlier_threshold
+    num_hypotheses = config.evaluate.num_hypotheses
+
+    @jax.jit
+    def register_batch(variables, src, dst, keys):
+        # Both clouds of every pair through one forward: [2b, n, 6]
+        # (normals on device; ref estimates with Open3D per pair :55-56).
+        clouds = jnp.concatenate([src, dst], 0)
+        x = jnp.concatenate([clouds, estimate_normals(clouds)], -1)
+        feats = model.apply(variables, x, train=False)
+        f_src, f_dst = feats[:src.shape[0]], feats[src.shape[0]:]
+
+        def one(s, d, fs, fd, k):
+            est, _ = register_pair(
+                s, d, fs, fd, key=k, method=method, noise_bound=noise_bound,
+                inlier_threshold=inlier_threshold,
+                num_hypotheses=num_hypotheses)
+            return est
+
+        return jax.vmap(one)(src, dst, f_src, f_dst, keys)
+
     meter = MeterRegistration()
     key = jax.random.PRNGKey(config.seed)
-
-    for batch in pairs.batches(batch_size=1):
-        src = jnp.asarray(batch.source)    # [1, n, 3]
+    batch_pairs = max(min(int(config.evaluate.batch_pairs), len(pairs)), 1)
+    for batch in pairs.batches(batch_size=batch_pairs):
+        n_real = batch.source.shape[0]
+        src = jnp.asarray(batch.source)    # [b, n, 3]
         dst = jnp.asarray(batch.target)
         gt = jnp.asarray(batch.transform)
-        # normals on device (ref estimates with Open3D per pair: :55-56)
-        n_src = estimate_normals(src)
-        n_dst = estimate_normals(dst)
-        feat_src = eval_step(state, jnp.concatenate([src, n_src], -1))
-        feat_dst = eval_step(state, jnp.concatenate([dst, n_dst], -1))
-        t0 = time.time()
+        if n_real < batch_pairs:           # pad the tail to the jitted shape
+            pad = batch_pairs - n_real
+            src = jnp.concatenate([src, jnp.repeat(src[:1], pad, 0)], 0)
+            dst = jnp.concatenate([dst, jnp.repeat(dst[:1], pad, 0)], 0)
         key, sub = jax.random.split(key)
-        est, _ = register_pair(
-            src[0], dst[0], feat_src[0], feat_dst[0], key=sub,
-            method=config.evaluate.method,
-            noise_bound=config.evaluate.noise_bound,
-            inlier_threshold=config.evaluate.inlier_threshold,
-            num_hypotheses=config.evaluate.num_hypotheses,
-        )
-        est = jax.block_until_ready(est)
+        keys = jax.random.split(sub, src.shape[0])
+        t0 = time.time()
+        est = jax.block_until_ready(register_batch(variables, src, dst, keys))
         reg_time = time.time() - t0
-        errors = pair_errors(src, gt, est[None])
-        meter.update(jax.tree_util.tree_map(np.asarray, errors), reg_time)
+        errors = pair_errors(src[:n_real], gt, est[:n_real])
+        meter.update(jax.tree_util.tree_map(np.asarray, errors),
+                     reg_time * n_real / src.shape[0])
     results = meter.compute()
     log.info("registration eval [%s/%s]: %s", config.evaluate.pairs_mode,
-             config.evaluate.method, results)
+             method, results)
+    return results
+
+
+def rotation_consistency(state, model, dataset, config, num_items: int = 64,
+                         num_rotations: int = 4, seed: int = 0) -> dict:
+    """SO(3) consistency of the *trained classifier* at eval: the same cloud
+    under K random rotations must keep its prediction and its logits.
+
+    The reference's premise (`README.md:3-16`) is rotation-invariant
+    features; round-1 tests covered the ops piecewise — this measures the
+    model end to end. Returns:
+      rot_agree   — fraction of (item, rotation) predictions equal to the
+                    item's modal prediction (exact 1.0 only when every
+                    geometry stage is strictly invariant);
+      logit_drift — mean relative L2 drift of logits across rotations.
+    """
+    from ..data.transforms import random_rotation
+
+    eval_step = make_eval_step(model)
+    rs = np.random.RandomState(seed)
+    num_items = min(num_items, len(dataset))
+    base = [dataset.get(i, rs) for i in range(num_items)]
+    clouds = np.stack([c for c, _ in base])  # [m, n, c] (already rotated once
+    # by the dataset's own augmentation — irrelevant, we compare copies)
+
+    logits_per_rot = []
+    for _ in range(num_rotations):
+        rotated = []
+        for cloud in clouds:
+            pts, normals = cloud[:, :3], cloud[:, 3:6]
+            if normals.shape[-1] == 3:
+                _, p, nrm = random_rotation(pts, normals, 360.0, 0.0, rs=rs)
+                rotated.append(np.concatenate([p, nrm], -1))
+            else:
+                _, p = random_rotation(pts, None, 360.0, 0.0, rs=rs)
+                rotated.append(p)
+        logits_per_rot.append(
+            np.asarray(eval_step(state, jnp.asarray(np.stack(rotated)))))
+    logits = np.stack(logits_per_rot)           # [K, m, C]
+    preds = np.argmax(logits, -1)               # [K, m]
+    modal = np.apply_along_axis(
+        lambda col: np.bincount(col).argmax(), 0, preds)  # [m]
+    agree = float(np.mean(preds == modal[None]))
+    center = logits.mean(0, keepdims=True)
+    drift = float(np.mean(
+        np.linalg.norm(logits - center, axis=-1)
+        / (np.linalg.norm(center, axis=-1) + 1e-9)))
+    return {"rot_agree": agree, "logit_drift": drift}
+
+
+def evaluate_classification_ckpt(config: ExperimentConfig,
+                                 ckpt_dir: str | None = None,
+                                 ckpt_name: str | None = None,
+                                 rotations: int = 4,
+                                 state=None) -> dict:
+    """Test-split accuracy (+ rotation consistency) of a trained classifier
+    checkpoint. Ref: train.py `--evaluate` with the default `test` fn
+    (`train.py:204-225`) under the SO(3)/SO(3) protocol."""
+    import dataclasses as _dc
+
+    log = get_logger(config.name)
+    ckpt_dir = ckpt_dir or config.evaluate.ckpt_dir or config.train.ckpt_dir
+    ckpt_name = ckpt_name or config.evaluate.ckpt_name or "common"
+    snapshot: dict = {}
+    if state is None:
+        state, snapshot = load_trained_state(ckpt_dir, ckpt_name)
+    snap_model = dict(snapshot.get("model") or {})
+    if snap_model:
+        from .config import ModelConfig
+
+        known = {f.name for f in _dc.fields(ModelConfig)}
+        mcfg = ModelConfig(**{k: v for k, v in snap_model.items() if k in known})
+        config = _dc.replace(config, model=mcfg)
+    if snapshot.get("dataset"):
+        for key, value in snapshot["dataset"].items():
+            if hasattr(config.dataset, key):
+                setattr(config.dataset, key, value)
+    model = build_model(config)
+    datasets = get_datasets(config.dataset)
+    eval_step = make_eval_step(model)
+    acc = evaluate_classification(state, eval_step, datasets["test"], config)
+    results = {"acc": acc}
+    if rotations > 0:
+        results.update(rotation_consistency(
+            state, model, datasets["test"], config,
+            num_rotations=rotations, seed=config.seed))
+    log.info("classification eval: %s", results)
     return results

@@ -46,9 +46,14 @@ def make_optimizer(config: ExperimentConfig, steps_per_epoch: int):
 
 def create_state(model, config: ExperimentConfig, sample_batch: jnp.ndarray,
                  steps_per_epoch: int, seed: int = 0) -> tuple[TrainState, Any]:
-    variables = model.init(
+    # init under jit and on a single item: eager init would materialize the
+    # boolean neighbor-selection masks ([b, n, k, n] — 16 GiB at the flagship
+    # batch) that XLA otherwise fuses into the dots; params and batch_stats
+    # do not depend on the batch dimension.
+    init_fn = jax.jit(lambda rngs, x: model.init(rngs, x, train=False))
+    variables = init_fn(
         {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(seed + 1)},
-        sample_batch, train=False,
+        sample_batch[:1],
     )
     tx = make_optimizer(config, steps_per_epoch)
     state = TrainState(

@@ -46,10 +46,11 @@ def test_train_smoke(tmp_path):
     assert (tmp_path / "ckpt" / "common").exists()
 
 
-def test_registration_eval_smoke():
+def test_registration_eval_smoke(tmp_path):
     cfg = get_config("tiny_smoke")
     cfg.model.is_classify = False
     cfg.model.extra_feature_channels = 4
+    cfg.train.ckpt_dir = str(tmp_path / "none")  # hermetic: no repo ckpt pickup
     cfg.evaluate.num_pairs = 2
     cfg.evaluate.num_points = 64
     cfg.evaluate.method = "teaserpp"
@@ -57,3 +58,110 @@ def test_registration_eval_smoke():
     for key in ("rre", "rte", "rmse", "succ", "reg_time", "rmse_succ"):
         assert key in results
         assert np.isfinite(results[key])
+
+
+def test_evaluate_with_trained_checkpoint(tmp_path):
+    """Round trip (VERDICT r1 item 2): train tiny -> save -> evaluate loads
+    the TRAINED params (differ from a fresh init) and the snapshot arch.
+    Ref: train.py:231-243 --eval_ckpt_pth / --best_ckpt_to_test."""
+    import jax
+    import jax.numpy as jnp
+
+    from rift_tpu.train.loop import (build_model, evaluate_classification_ckpt,
+                                     extractor_from_snapshot,
+                                     load_trained_state)
+    from rift_tpu.train.steps import create_state
+
+    cfg = get_config("tiny_smoke")
+    cfg.model.extra_feature_channels = 4  # registration trunk arch
+    cfg.train.ckpt_dir = str(tmp_path / "ckpt")
+    cfg.optim.num_epochs = 1
+    cfg.train.steps_per_epoch = 3
+    train(cfg, resume=False)
+
+    state, snap = load_trained_state(cfg.train.ckpt_dir, "best_acc")
+    assert snap["model"]["extra_feature_channels"] == 4
+    assert int(np.asarray(state.step)) == 3
+
+    # trained params differ from a fresh same-seed init
+    model = build_model(cfg)
+    dummy = jnp.zeros((1, cfg.dataset.num_points, 6), jnp.float32)
+    init_state, _ = create_state(model, cfg, dummy, 1, seed=cfg.seed)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params,
+        init_state.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+    # registration eval restores the ckpt and runs batched
+    reg = get_config("tiny_smoke")
+    reg.evaluate.num_pairs = 2
+    reg.evaluate.num_points = 64
+    reg.evaluate.method = "teaserpp"
+    reg.evaluate.ckpt_dir = cfg.train.ckpt_dir
+    reg.evaluate.ckpt_name = "best_acc"
+    results = evaluate_registration(reg)
+    assert all(np.isfinite(v) for v in results.values())
+
+    # snapshot arch wins over the eval preset (trunk must match weights)
+    reg.model.dim_k = 999  # wrong on purpose; snapshot must override
+    ext = extractor_from_snapshot(reg, snap)
+    assert ext.dim_k == cfg.model.dim_k
+    assert ext.is_classify is False
+
+    # classification eval from the same checkpoint + rotation consistency
+    cls = get_config("tiny_smoke")
+    cls.model.extra_feature_channels = 4
+    out = evaluate_classification_ckpt(
+        cls, ckpt_dir=cfg.train.ckpt_dir, ckpt_name="best_acc", rotations=3)
+    assert set(out) == {"acc", "rot_agree", "logit_drift"}
+    assert 0.0 <= out["acc"] <= 1.0
+    assert 0.0 <= out["rot_agree"] <= 1.0
+    assert np.isfinite(out["logit_drift"])
+
+
+def test_batched_eval_matches_per_pair(tmp_path):
+    """The one-dispatch-per-batch eval path reproduces the per-pair loop
+    exactly (teaserpp/GNC is key-free and deterministic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rift_tpu.data.registration_pairs import get_pairs
+    from rift_tpu.ops.normals import estimate_normals
+    from rift_tpu.registration import pair_errors, register_pair
+    from rift_tpu.train.loop import build_model
+    from rift_tpu.train.meters import MeterRegistration
+    from rift_tpu.train.steps import create_state, make_eval_step
+
+    cfg = get_config("tiny_smoke")
+    cfg.model.is_classify = False
+    cfg.model.extra_feature_channels = 4
+    cfg.train.ckpt_dir = str(tmp_path / "none")
+    cfg.evaluate.num_pairs = 3
+    cfg.evaluate.num_points = 64
+    cfg.evaluate.method = "teaserpp"
+    cfg.evaluate.batch_pairs = 2  # forces a padded tail batch
+
+    model = build_model(cfg)
+    dummy = jnp.zeros((1, 64, 6), jnp.float32)
+    state, _ = create_state(model, cfg, dummy, 1, seed=cfg.seed)
+    batched = evaluate_registration(cfg, state=state, model=model)
+
+    # per-pair reference loop (the round-1 evaluation semantics)
+    eval_step = make_eval_step(model)
+    pairs = get_pairs(None, 64, "noise", 3)
+    meter = MeterRegistration()
+    for batch in pairs.batches(batch_size=1):
+        src = jnp.asarray(batch.source)
+        dst = jnp.asarray(batch.target)
+        gt = jnp.asarray(batch.transform)
+        fs = eval_step(state, jnp.concatenate([src, estimate_normals(src)], -1))
+        fd = eval_step(state, jnp.concatenate([dst, estimate_normals(dst)], -1))
+        est, _ = register_pair(src[0], dst[0], fs[0], fd[0],
+                               method="teaserpp",
+                               noise_bound=cfg.evaluate.noise_bound)
+        errors = pair_errors(src, gt, est[None])
+        meter.update(jax.tree_util.tree_map(np.asarray, errors), 0.0)
+    per_pair = meter.compute()
+    for key in ("rre", "rte", "rmse", "succ", "rmse_succ"):
+        np.testing.assert_allclose(batched[key], per_pair[key], rtol=1e-4,
+                                   atol=1e-5, err_msg=key)

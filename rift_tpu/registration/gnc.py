@@ -56,8 +56,7 @@ def gnc_pose(
     mu0 = c2 / jnp.maximum(2.0 * r2_max - c2, 1e-12)
     mu0 = jnp.maximum(mu0, 1e-6)
 
-    def step(carry, _):
-        transform, mu = carry
+    def weights(transform, mu):
         r2 = _residuals(transform, src, dst) ** 2
         if kind == "tls":
             # GNC-TLS weight update (Yang et al. 2020, eq. 14).
@@ -77,14 +76,46 @@ def gnc_pose(
             w = (mu * c2 / (mu * c2 + r2)) ** 2
         else:
             raise ValueError(f"unknown GNC kind {kind!r}")
-        w = w * valid
+        return w * valid
+
+    if kind == "tls":
+        # TLS converges to a FIXED POINT long before max_iterations (the
+        # reference always burns all 100 Kabsch solves per pair,
+        # `deepgmr_mn40.py:207-216`): once the weight vector repeats between
+        # consecutive iterations, every later iteration is bitwise identical
+        # — equal weights give an equal Kabsch transform, hence equal
+        # residuals, and the TLS inlier band (th2, th1) only shrinks with
+        # growing μ, so weights at the band edges never re-enter. A repeat
+        # with a point still inside the open band would need the
+        # μ-dependent sqrt formula to return the same value under a new μ
+        # (measure zero). lax.while_loop exits at that fixed point; under
+        # vmap the loop runs until the slowest pair converges, still far
+        # below 100.
+        def cond(carry):
+            _, _, _, it, done = carry
+            return (it < max_iterations) & ~done
+
+        def body(carry):
+            transform, mu, w_prev, it, _ = carry
+            w = weights(transform, mu)
+            new_t = weighted_kabsch(src, dst, w)
+            done = jnp.all(w == w_prev) & (it > 0)
+            return (new_t, mu * gnc_factor, w, it + 1, done)
+
+        transform, _, w_last, _, _ = jax.lax.while_loop(
+            cond, body,
+            (t0, mu0, w0, jnp.zeros((), jnp.int32), jnp.zeros((), bool)))
+        return transform, w_last
+
+    def step(carry, _):
+        transform, mu = carry
+        w = weights(transform, mu)
         new_t = weighted_kabsch(src, dst, w)
-        new_mu = mu * gnc_factor if kind == "tls" else jnp.maximum(mu / gnc_factor, 1.0)
+        new_mu = jnp.maximum(mu / gnc_factor, 1.0)
         return (new_t, new_mu), w
 
-    init_mu = mu0 if kind == "tls" else jnp.asarray(64.0, src.dtype)
-    (transform, _), ws = jax.lax.scan(step, (t0, init_mu), None,
-                                      length=max_iterations)
+    (transform, _), ws = jax.lax.scan(step, (t0, jnp.asarray(64.0, src.dtype)),
+                                      None, length=max_iterations)
     return transform, ws[-1]
 
 

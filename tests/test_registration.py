@@ -65,6 +65,57 @@ def test_gnc_robust_to_outliers(rng, kind):
     assert float(err["rte"][0]) < 0.05
 
 
+def test_gnc_tls_early_exit_bitwise_matches_full_scan(rng):
+    """The while_loop fixed-point exit must be bitwise identical to the
+    reference-parameter fixed 100-iteration schedule, including under vmap
+    (the batched eval path)."""
+    from functools import partial
+
+    from rift_tpu.registration.gnc import _residuals
+    from rift_tpu.registration.kabsch import weighted_kabsch as wk
+
+    @partial(jax.jit, static_argnames=("max_iterations",))
+    def gnc_tls_full_scan(src, dst, valid, noise_bound=0.02, gnc_factor=1.4,
+                          max_iterations=100):
+        c2 = noise_bound * noise_bound
+        w0 = valid.astype(src.dtype)
+        t0 = wk(src, dst, w0)
+        r2_max = jnp.max(jnp.where(valid, _residuals(t0, src, dst) ** 2, 0.0))
+        mu0 = jnp.maximum(c2 / jnp.maximum(2.0 * r2_max - c2, 1e-12), 1e-6)
+
+        def step(carry, _):
+            transform, mu = carry
+            r2 = _residuals(transform, src, dst) ** 2
+            th1 = (mu + 1.0) / mu * c2
+            th2 = mu / (mu + 1.0) * c2
+            w = jnp.where(
+                r2 >= th1, 0.0,
+                jnp.where(r2 <= th2, 1.0,
+                          jnp.sqrt(c2 * mu * (mu + 1.0)
+                                   / jnp.maximum(r2, 1e-20)) - mu))
+            w = w * valid
+            return (wk(src, dst, w), mu * gnc_factor), w
+
+        (transform, _), ws = jax.lax.scan(step, (t0, mu0), None,
+                                          length=max_iterations)
+        return transform, ws[-1]
+
+    srcs, dsts = [], []
+    for seed in range(4):
+        src, dst, _ = _random_pair(rng, noise=0.005,
+                                   outlier_frac=0.1 * seed, seed=seed)
+        srcs.append(src)
+        dsts.append(dst)
+    srcs = jnp.asarray(np.stack(srcs))
+    dsts = jnp.asarray(np.stack(dsts))
+    valid = jnp.ones(srcs.shape[:2], bool)
+
+    t_fast, w_fast = jax.vmap(gnc_pose)(srcs, dsts, valid)
+    t_full, w_full = jax.vmap(gnc_tls_full_scan)(srcs, dsts, valid)
+    np.testing.assert_array_equal(np.asarray(t_fast), np.asarray(t_full))
+    np.testing.assert_array_equal(np.asarray(w_fast), np.asarray(w_full))
+
+
 def test_ransac_robust_to_outliers(rng):
     src, dst, t = _random_pair(rng, noise=0.003, outlier_frac=0.5)
     est, inl = ransac_pose(

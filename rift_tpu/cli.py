@@ -55,6 +55,19 @@ def main(argv: list[str] | None = None) -> int:
                              "meter (0 disables)")
     p_ecls.add_argument("overrides", nargs="*")
 
+    p_map = sub.add_parser(
+        "map-sequence",
+        help="multi-scan mapping: pairwise registration -> odometry -> "
+             "pose graph -> bundle adjustment -> ATE")
+    p_map.add_argument("--preset", default="reg_icl_nuim_teaserpp_cu_dg")
+    p_map.add_argument("--ckpt", default=None, metavar="DIR")
+    p_map.add_argument("--best", default=None, metavar="METRIC")
+    p_map.add_argument("--loop-stride", type=int, default=6)
+    p_map.add_argument("--landmarks-per-edge", type=int, default=64)
+    p_map.add_argument("--mesh", action="store_true",
+                       help="shard the pose-graph/BA solves over all devices")
+    p_map.add_argument("overrides", nargs="*")
+
     p_seg = sub.add_parser("train-seg", help="ShapeNet part segmentation")
     p_seg.add_argument("--preset", default="shapenet_seg")
     p_seg.add_argument("overrides", nargs="*")
@@ -102,6 +115,17 @@ def main(argv: list[str] | None = None) -> int:
         results = evaluate_classification_ckpt(
             config, ckpt_dir=args.ckpt, ckpt_name=ckpt_name,
             rotations=args.rotations)
+        for key, value in results.items():
+            print(f"{key}: {value:.6f}")
+        return 0
+    if args.command == "map-sequence":
+        from .train.loop import run_map_sequence
+
+        ckpt_name = f"best_{args.best}" if args.best else None
+        results = run_map_sequence(
+            config, ckpt_dir=args.ckpt, ckpt_name=ckpt_name,
+            loop_stride=args.loop_stride,
+            landmarks_per_edge=args.landmarks_per_edge, use_mesh=args.mesh)
         for key, value in results.items():
             print(f"{key}: {value:.6f}")
         return 0

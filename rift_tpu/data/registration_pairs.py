@@ -116,12 +116,51 @@ class SyntheticPairs:
             )
 
 
+class SequencePairs:
+    """Adjacent-scan pairs from a synthetic indoor trajectory — the
+    ICL-NUIM analog (data/sequences.py): a room scene observed from a
+    smooth camera path, so pairs have small relative motion and scene-scale
+    geometry rather than the object-scale random-SE(3) of SyntheticPairs.
+    (Round-1 'icl_nuim' presets silently mapped to mode='noise'; this gives
+    the name real semantics.) Pair k = (scan_k, scan_{k+1}),
+    gt = T_{k+1}^{-1} T_k."""
+
+    def __init__(self, num_pairs: int = 100, num_points: int = 1024,
+                 seed: int = 0, crop: bool = False):
+        from .sequences import SequenceConfig, SyntheticSequence
+
+        self.seq = SyntheticSequence(SequenceConfig(
+            num_scans=num_pairs + 1, num_points=num_points, seed=seed,
+            crop=crop))
+        self.num_pairs = num_pairs
+
+    def __len__(self) -> int:
+        return self.num_pairs
+
+    def __getitem__(self, index: int):
+        return (self.seq.scans[index], self.seq.scans[index + 1],
+                self.seq.relative_gt(index, index + 1))
+
+    def batches(self, batch_size: int = 1) -> Iterator[PairBatch]:
+        for start in range(0, len(self), batch_size):
+            idx = range(start, min(start + batch_size, len(self)))
+            items = [self[i] for i in idx]
+            yield PairBatch(
+                source=np.stack([a for a, _, _ in items]),
+                target=np.stack([b for _, b, _ in items]),
+                transform=np.stack([t for _, _, t in items]),
+            )
+
+
 def get_pairs(path: str | None, num_points: int = 1024, mode: str = "noise",
               num_pairs: int = 100):
     """Dataset factory: h5 file if given and present, synthetic otherwise
-    (ref: `getdataset`, deepgmr_mn40.py:68-69)."""
+    (ref: `getdataset`, deepgmr_mn40.py:68-69). mode 'icl_nuim' draws
+    adjacent-scan pairs from the synthetic indoor trajectory."""
     import os
 
     if path and os.path.isfile(path):
         return H5TestPairs(path, num_points)
+    if mode == "icl_nuim":
+        return SequencePairs(num_pairs=num_pairs, num_points=num_points)
     return SyntheticPairs(num_pairs=num_pairs, num_points=num_points, mode=mode)

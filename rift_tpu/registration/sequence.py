@@ -1,0 +1,270 @@
+"""Multi-scan mapping: pairwise registration -> odometry -> pose graph ->
+bundle adjustment -> ATE.
+
+North-star pipeline (BASELINE.json configs[4]: "Multi-scan ICL-NUIM
+sequence: pose-graph + distributed Schur-complement BA"). The unit being
+chained is the reference's per-pair evaluation
+(`datasets/deepgmr_mn40.py:71-97,165-231`): per-point features -> mutual-NN
+correspondences -> robust pose. This module turns a trajectory of T scans
+into:
+
+1. **edges** — consecutive (odometry) + stride loop closures;
+2. **pairwise registration** — one jitted vmapped program per edge batch
+   (mutual-NN + GNC-TLS / RANSAC on device), which also emits the matched
+   correspondences and their confidence weights;
+3. **odometry** — chained consecutive measurements (drifts);
+4. **pose graph** — Gauss-Newton over all edges
+   (`registration/pose_graph.py`), optionally edge-sharded over a Mesh with
+   ICI psum reduction;
+5. **bundle adjustment** — landmarks built from the per-edge inlier
+   correspondences (each confident match = one landmark observed in both
+   scans), Schur-complement solve (`registration/bundle_adjust.py`),
+   optionally landmark-sharded;
+6. **ATE** against ground-truth poses when available.
+
+Conventions match data/sequences.py: node pose T_i is world-from-scan; the
+pairwise estimate M_ij maps scan_i points into scan_j, so the pose-graph
+measurement is T_i^{-1} T_j = M_ij^{-1}.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import se3
+from ..ops.neighbors import mutual_nearest_neighbors
+from .bundle_adjust import bundle_adjust, bundle_adjust_sharded
+from .gnc import gnc_pose
+from .pose_graph import (optimize_pose_graph, optimize_pose_graph_sharded,
+                         trajectory_ate)
+from .ransac import ransac_pose
+
+Array = jax.Array
+
+
+def build_edges(num_scans: int, loop_stride: int = 6
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """(i_idx, j_idx) int32: consecutive odometry edges + loop closures
+    every `loop_stride//2` scans spanning `loop_stride` scans."""
+    pairs = [(i, i + 1) for i in range(num_scans - 1)]
+    if loop_stride and loop_stride > 1:
+        hop = max(loop_stride // 2, 1)
+        pairs += [(i, i + loop_stride)
+                  for i in range(0, num_scans - loop_stride, hop)]
+    i_idx = np.asarray([p[0] for p in pairs], np.int32)
+    j_idx = np.asarray([p[1] for p in pairs], np.int32)
+    return i_idx, j_idx
+
+
+@dataclass
+class SequenceResult:
+    odometry: np.ndarray            # [T, 4, 4]
+    graph: np.ndarray               # [T, 4, 4]
+    ba: np.ndarray                  # [T, 4, 4]
+    edges: tuple[np.ndarray, np.ndarray]
+    measurements: np.ndarray        # [E, 4, 4] estimated M_ij
+    edge_weights: np.ndarray        # [E] inlier fractions
+    metrics: dict = field(default_factory=dict)
+
+
+def _pad_to_multiple(arrays: list[np.ndarray], multiple: int, pad_values):
+    e = arrays[0].shape[0]
+    pad = (-e) % multiple
+    if pad == 0:
+        return arrays
+    out = []
+    for arr, val in zip(arrays, pad_values):
+        tail = np.broadcast_to(val, (pad,) + arr.shape[1:]).astype(arr.dtype)
+        out.append(np.concatenate([arr, tail], 0))
+    return out
+
+
+def register_edges(scans: Array, features: Array, i_idx: np.ndarray,
+                   j_idx: np.ndarray, method: str = "teaserpp",
+                   noise_bound: float = 0.02,
+                   inlier_threshold: float = 0.08,
+                   num_hypotheses: int = 512,
+                   batch_edges: int = 16, seed: int = 0
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pairwise registration of every edge, batched on device.
+
+    scans [T, n, 3], features [T, n, c] ->
+      (measurements [E, 4, 4] M_ij, corr_idx2 [E, n] int32 (mutual NN of
+      each src point in dst), corr_w [E, n] confidence weights,
+      edge_weights [E] inlier fractions).
+    """
+    kind = {"teaserpp": "tls", "fgr": "gm"}.get(method)
+
+    @jax.jit
+    def run_batch(src, dst, fs, fd, keys):
+        def one(s, d, f1, f2, k):
+            _, idx2, mask = mutual_nearest_neighbors(f1, f2)
+            matched = d[idx2]
+            if kind is not None:
+                nb = noise_bound if kind == "tls" else 2 * noise_bound
+                t, w = gnc_pose(s, matched, mask, noise_bound=nb, kind=kind)
+            elif method == "ransac":
+                t, inl = ransac_pose(k, s, matched, mask,
+                                     num_hypotheses=num_hypotheses,
+                                     inlier_threshold=inlier_threshold)
+                w = inl.astype(s.dtype) * mask
+            else:
+                raise ValueError(f"unknown method {method!r}")
+            return t, idx2, w
+
+        return jax.vmap(one)(src, dst, fs, fd, keys)
+
+    e = len(i_idx)
+    meas, idx2s, ws = [], [], []
+    key = jax.random.PRNGKey(seed)
+    for start in range(0, e, batch_edges):
+        sel_i = i_idx[start:start + batch_edges]
+        sel_j = j_idx[start:start + batch_edges]
+        n_real = len(sel_i)
+        if n_real < batch_edges:  # pad tail to the compiled batch shape
+            sel_i = np.concatenate([sel_i, np.zeros(batch_edges - n_real,
+                                                    np.int32)])
+            sel_j = np.concatenate([sel_j, np.ones(batch_edges - n_real,
+                                                   np.int32)])
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, batch_edges)
+        t, idx2, w = run_batch(scans[sel_i], scans[sel_j],
+                               features[sel_i], features[sel_j], keys)
+        meas.append(np.asarray(t[:n_real]))
+        idx2s.append(np.asarray(idx2[:n_real]))
+        ws.append(np.asarray(w[:n_real]))
+    measurements = np.concatenate(meas, 0)
+    corr_idx2 = np.concatenate(idx2s, 0)
+    corr_w = np.concatenate(ws, 0)
+    edge_weights = (corr_w > 0.5).mean(-1).astype(np.float32)
+    return measurements, corr_idx2, corr_w, edge_weights
+
+
+def odometry_from_measurements(num_scans: int, i_idx: np.ndarray,
+                               j_idx: np.ndarray, measurements: np.ndarray
+                               ) -> np.ndarray:
+    """Chain consecutive edges: T_0 = I, T_{i+1} = T_i · M_{i,i+1}^{-1}."""
+    cons = {int(a): measurements[e] for e, (a, b) in
+            enumerate(zip(i_idx, j_idx)) if b == a + 1}
+    poses = [np.eye(4, dtype=np.float32)]
+    for i in range(num_scans - 1):
+        rel = np.linalg.inv(cons[i]) if i in cons else np.eye(4)
+        poses.append((poses[-1] @ rel).astype(np.float32))
+    return np.stack(poses)
+
+
+def build_landmarks(scans: np.ndarray, poses: np.ndarray, i_idx: np.ndarray,
+                    j_idx: np.ndarray, corr_idx2: np.ndarray,
+                    corr_w: np.ndarray, measurements: np.ndarray,
+                    per_edge: int = 64
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """BA input from the registration by-products: each confident mutual-NN
+    match (p in scan i <-> q in scan j) becomes one landmark observed twice.
+    Matches are ranked by their residual under the estimated edge transform
+    (not raw GNC weight): scans resample the surface independently, so the
+    smallest-residual matches are the ones closest to a shared physical
+    point — exactly the observations the single-landmark model assumes.
+
+    Returns (landmarks [Nl, 3] world inits, obs_pose [Nl, 2] int32 (-1 pad),
+    obs_local [Nl, 2, 3]); Nl = E * per_edge.
+    """
+    lms, obs_pose, obs_local = [], [], []
+    for e in range(len(i_idx)):
+        i, j = int(i_idx[e]), int(j_idx[e])
+        m = measurements[e]
+        q_all = scans[j][corr_idx2[e]]
+        resid = np.linalg.norm(
+            scans[i] @ m[:3, :3].T + m[:3, 3] - q_all, axis=-1)
+        resid = np.where(corr_w[e] > 0.5, resid, np.inf)
+        order = np.argsort(resid, kind="stable")[:per_edge]
+        valid = np.isfinite(resid[order])
+        p = scans[i][order]                     # [L, 3] scan-i local
+        q = q_all[order]                        # [L, 3] scan-j local
+        p_w = p @ poses[i][:3, :3].T + poses[i][:3, 3]
+        q_w = q @ poses[j][:3, :3].T + poses[j][:3, 3]
+        lms.append(np.where(valid[:, None], 0.5 * (p_w + q_w), 0.0))
+        op = np.where(valid[:, None], np.array([[i, j]], np.int32),
+                      -np.ones((1, 2), np.int32))
+        obs_pose.append(op.astype(np.int32))
+        obs_local.append(np.stack([p, q], 1))
+    return (np.concatenate(lms, 0).astype(np.float32),
+            np.concatenate(obs_pose, 0),
+            np.concatenate(obs_local, 0).astype(np.float32))
+
+
+def map_sequence(scans: np.ndarray, features: np.ndarray,
+                 gt_poses: np.ndarray | None = None,
+                 method: str = "teaserpp", noise_bound: float = 0.02,
+                 inlier_threshold: float = 0.08, num_hypotheses: int = 512,
+                 loop_stride: int = 6, landmarks_per_edge: int = 64,
+                 gn_iterations: int = 10, ba_iterations: int = 8,
+                 mesh=None, batch_edges: int = 16, seed: int = 0
+                 ) -> SequenceResult:
+    """Full sequence pipeline; pass `mesh` to run the pose-graph and BA
+    solves sharded over its 'data' axis (edges / landmarks distributed,
+    (H, b) and Schur systems psum-reduced over ICI)."""
+    num_scans = scans.shape[0]
+    i_idx, j_idx = build_edges(num_scans, loop_stride)
+    measurements, corr_idx2, corr_w, edge_w = register_edges(
+        jnp.asarray(scans), jnp.asarray(features), i_idx, j_idx,
+        method=method, noise_bound=noise_bound,
+        inlier_threshold=inlier_threshold, num_hypotheses=num_hypotheses,
+        batch_edges=batch_edges, seed=seed)
+
+    odom = odometry_from_measurements(num_scans, i_idx, j_idx, measurements)
+
+    # Pose graph over all edges (measurement = T_i^{-1} T_j = M_ij^{-1}).
+    graph_meas = np.linalg.inv(measurements).astype(np.float32)
+    weights = np.maximum(edge_w, 1e-3).astype(np.float32)
+    if mesh is not None:
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        ii, jj, mm, ww = _pad_to_multiple(
+            [i_idx, j_idx, graph_meas, weights], n_dev,
+            [np.int32(0), np.int32(0), np.eye(4, dtype=np.float32),
+             np.float32(0.0)])
+        graph = np.asarray(optimize_pose_graph_sharded(
+            jnp.asarray(odom), jnp.asarray(ii), jnp.asarray(jj),
+            jnp.asarray(mm), jnp.asarray(ww), mesh,
+            num_iterations=gn_iterations))
+    else:
+        graph = np.asarray(optimize_pose_graph(
+            jnp.asarray(odom), jnp.asarray(i_idx), jnp.asarray(j_idx),
+            jnp.asarray(graph_meas), jnp.asarray(weights),
+            num_iterations=gn_iterations))
+
+    # Bundle adjustment from the raw inlier correspondences.
+    lms, obs_pose, obs_local = build_landmarks(
+        scans, graph, i_idx, j_idx, corr_idx2, corr_w, measurements,
+        per_edge=landmarks_per_edge)
+    if mesh is not None:
+        lms, obs_pose, obs_local = _pad_to_multiple(
+            [lms, obs_pose, obs_local], n_dev,
+            [np.zeros(3, np.float32), -np.ones(2, np.int32),
+             np.zeros((2, 3), np.float32)])
+        ba_poses, _ = bundle_adjust_sharded(
+            jnp.asarray(graph), jnp.asarray(lms), jnp.asarray(obs_pose),
+            jnp.asarray(obs_local), mesh, num_iterations=ba_iterations)
+    else:
+        ba_poses, _ = bundle_adjust(
+            jnp.asarray(graph), jnp.asarray(lms), jnp.asarray(obs_pose),
+            jnp.asarray(obs_local), num_iterations=ba_iterations)
+    ba_poses = np.asarray(ba_poses)
+
+    metrics = {"num_edges": float(len(i_idx)),
+               "mean_edge_inliers": float(edge_w.mean())}
+    if gt_poses is not None:
+        gt = jnp.asarray(gt_poses)
+        metrics["ate_odometry"] = float(trajectory_ate(gt, jnp.asarray(odom)))
+        metrics["ate_graph"] = float(trajectory_ate(gt, jnp.asarray(graph)))
+        metrics["ate_ba"] = float(trajectory_ate(gt, jnp.asarray(ba_poses)))
+        rre = se3.rotation_error_deg(
+            se3.rot_of(gt[1:]) @ se3.rot_of(gt[:-1]).transpose(0, 2, 1),
+            se3.rot_of(jnp.asarray(ba_poses)[1:])
+            @ se3.rot_of(jnp.asarray(ba_poses)[:-1]).transpose(0, 2, 1))
+        metrics["mean_step_rre"] = float(jnp.mean(rre))
+    return SequenceResult(odometry=odom, graph=graph, ba=ba_poses,
+                          edges=(i_idx, j_idx), measurements=measurements,
+                          edge_weights=edge_w, metrics=metrics)

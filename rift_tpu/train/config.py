@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from ..data.modelnet40 import ModelNet40Config
+from ..data.sequences import SequenceConfig
 
 
 @dataclass
@@ -97,6 +98,8 @@ class ExperimentConfig:
     train: TrainConfig = field(default_factory=TrainConfig)
     dataset: ModelNet40Config = field(default_factory=ModelNet40Config)
     evaluate: EvalConfig = field(default_factory=EvalConfig)
+    # Multi-scan mapping (cli map-sequence): trajectory synthesis / h5 input.
+    sequence: SequenceConfig = field(default_factory=SequenceConfig)
 
 
 # ----------------------------------------------------------------------- #
@@ -121,8 +124,12 @@ def _registration(method: str, mode: str, voxel_shape: str = "cube",
     cfg.model.is_classify = False
     cfg.model.extra_feature_channels = 4
     cfg.evaluate.method = method
-    cfg.evaluate.pairs_mode = "partial" if mode == "partial" else (
-        "clean" if mode == "clean" else "noise")
+    # 'icl_nuim' draws adjacent-scan pairs from the synthetic indoor
+    # trajectory (data/sequences.py) — scene-scale, small relative motion —
+    # instead of round-1's silent alias to 'noise'.
+    cfg.evaluate.pairs_mode = mode
+    if mode == "icl_nuim":
+        cfg.evaluate.noise_bound = 0.05  # scan-resample offsets dominate
     return cfg
 
 

@@ -265,25 +265,13 @@ def extractor_from_snapshot(config: ExperimentConfig, snapshot: dict
     return build_model(eval_cfg)
 
 
-def evaluate_registration(config: ExperimentConfig, state=None,
-                          model=None, ckpt_dir: str | None = None,
-                          ckpt_name: str | None = None) -> dict:
-    """Registration evaluation (ref: test_registration, deepgmr_mn40.py:71-97).
-
-    Batched TPU-native form of the reference's per-pair loop: per batch of
-    `evaluate.batch_pairs` pairs, ONE jitted program computes normals +
-    per-point features (both clouds of every pair in one forward) +
-    mutual-NN matching + robust pose for the whole batch; metrics reduce on
-    device. 100 pairs -> ceil(100/64) = 2 dispatches instead of ~200.
-
-    Checkpoint resolution order: explicit `state` > `ckpt_dir`/`ckpt_name`
-    (or evaluate.ckpt_dir/ckpt_name) > config.train.ckpt_dir's common ckpt
-    if present > untrained init (logged loudly; useful only for smoke runs).
-    """
-    log = get_logger(config.name)
-    pairs = get_pairs(config.evaluate.pairs_path, config.evaluate.num_points,
-                      config.evaluate.pairs_mode, config.evaluate.num_pairs)
-
+def resolve_extractor(config: ExperimentConfig, state=None, model=None,
+                      ckpt_dir: str | None = None,
+                      ckpt_name: str | None = None, log=None):
+    """Shared checkpoint resolution for the feature-extractor paths:
+    explicit state > ckpt args / evaluate.ckpt_dir > train.ckpt_dir common >
+    untrained init (logged loudly)."""
+    log = log or get_logger(config.name)
     ckpt_dir = ckpt_dir or config.evaluate.ckpt_dir
     ckpt_name = ckpt_name or config.evaluate.ckpt_name or "common"
     if state is None and ckpt_dir is None:
@@ -306,6 +294,30 @@ def evaluate_registration(config: ExperimentConfig, state=None,
         n = config.evaluate.num_points
         dummy = jnp.zeros((1, n, 6), jnp.float32)
         state, _ = create_state(model, config, dummy, 1, seed=config.seed)
+    return state, model
+
+
+def evaluate_registration(config: ExperimentConfig, state=None,
+                          model=None, ckpt_dir: str | None = None,
+                          ckpt_name: str | None = None) -> dict:
+    """Registration evaluation (ref: test_registration, deepgmr_mn40.py:71-97).
+
+    Batched TPU-native form of the reference's per-pair loop: per batch of
+    `evaluate.batch_pairs` pairs, ONE jitted program computes normals +
+    per-point features (both clouds of every pair in one forward) +
+    mutual-NN matching + robust pose for the whole batch; metrics reduce on
+    device. 100 pairs -> ceil(100/64) = 2 dispatches instead of ~200.
+
+    Checkpoint resolution order: explicit `state` > `ckpt_dir`/`ckpt_name`
+    (or evaluate.ckpt_dir/ckpt_name) > config.train.ckpt_dir's common ckpt
+    if present > untrained init (logged loudly; useful only for smoke runs).
+    """
+    log = get_logger(config.name)
+    pairs = get_pairs(config.evaluate.pairs_path, config.evaluate.num_points,
+                      config.evaluate.pairs_mode, config.evaluate.num_pairs)
+
+    state, model = resolve_extractor(config, state, model, ckpt_dir,
+                                     ckpt_name, log)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     method = config.evaluate.method
@@ -355,6 +367,63 @@ def evaluate_registration(config: ExperimentConfig, state=None,
     log.info("registration eval [%s/%s]: %s", config.evaluate.pairs_mode,
              method, results)
     return results
+
+
+def extract_features(state, model, clouds: np.ndarray, batch_size: int = 32
+                     ) -> np.ndarray:
+    """Per-point features for a stack of clouds [m, n, 3]: normals estimated
+    on device + one jitted forward per (padded) batch."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def fwd(variables, x):
+        x = jnp.concatenate([x, estimate_normals(x)], -1)
+        return model.apply(variables, x, train=False)
+
+    m = clouds.shape[0]
+    b = min(batch_size, m)
+    outs = []
+    for start in range(0, m, b):
+        chunk = np.asarray(clouds[start:start + b])
+        n_real = chunk.shape[0]
+        if n_real < b:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[:1], b - n_real, 0)], 0)
+        outs.append(np.asarray(fwd(variables, jnp.asarray(chunk)))[:n_real])
+    return np.concatenate(outs, 0)
+
+
+def run_map_sequence(config: ExperimentConfig, ckpt_dir: str | None = None,
+                     ckpt_name: str | None = None, loop_stride: int = 6,
+                     landmarks_per_edge: int = 64,
+                     use_mesh: bool = False) -> dict:
+    """Multi-scan mapping pipeline (north star): synthesize/load the scan
+    sequence, extract features with the frozen trunk, register edges, and
+    run odometry -> pose graph -> BA -> ATE (registration/sequence.py)."""
+    from ..data.sequences import get_sequence
+    from ..registration.sequence import map_sequence
+
+    log = get_logger(config.name)
+    seq = get_sequence(config.sequence)
+    state, model = resolve_extractor(config, None, None, ckpt_dir, ckpt_name,
+                                     log)
+    feats = extract_features(state, model, seq.scans)
+    mesh = None
+    if use_mesh:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    result = map_sequence(
+        seq.scans, feats, gt_poses=seq.gt_poses,
+        method=config.evaluate.method,
+        noise_bound=config.evaluate.noise_bound,
+        num_hypotheses=config.evaluate.num_hypotheses,
+        inlier_threshold=config.evaluate.inlier_threshold,
+        loop_stride=loop_stride, landmarks_per_edge=landmarks_per_edge,
+        mesh=mesh, seed=config.seed)
+    log.info("map-sequence [%d scans, %d edges]: %s", len(seq),
+             len(result.edges[0]), result.metrics)
+    return result.metrics
 
 
 def rotation_consistency(state, model, dataset, config, num_items: int = 64,

@@ -214,20 +214,43 @@ class PVCNNClassifier(nn.Module):
     # ------------------------------------------------------------------ #
     def _use_fused_local_ppf(self, mlp, coords, train) -> bool:
         """Eligibility of the fused Pallas local-PPF path: eval-mode apply
-        (params already exist), tileable n, explicitly requested."""
-        if self.fused_local_ppf == "never" or train or self.is_initializing():
+        (params already exist), tileable n, explicitly requested.
+
+        'always' raises instead of silently falling back (except during
+        init, where params cannot exist yet) — a forced kernel that quietly
+        doesn't run would let parity tests compare the unfused path to
+        itself. Unknown flag values raise."""
+        flag = self.fused_local_ppf
+        if flag not in ("auto", "always", "never"):
+            raise ValueError(
+                f"fused_local_ppf={flag!r}: expected 'auto'|'always'|'never'")
+        if self.is_initializing():
             return False
-        if coords.shape[-2] % 128 != 0:
+        if flag == "never":
             return False
-        params = self.variables.get("params", {})
-        stats = self.variables.get("batch_stats", {})
-        if mlp.name not in params or mlp.name not in stats:
-            return False
+        if flag == "always":
+            if train:
+                raise ValueError(
+                    "fused_local_ppf='always' is eval-only (the kernel folds "
+                    "BatchNorm running stats; training must use the unfused "
+                    "AD path)")
+            if coords.shape[-2] % 128 != 0:
+                raise ValueError(
+                    f"fused_local_ppf='always' needs n % 128 == 0, got "
+                    f"n={coords.shape[-2]}")
+            params = self.variables.get("params", {})
+            stats = self.variables.get("batch_stats", {})
+            if mlp.name not in params or mlp.name not in stats:
+                raise ValueError(
+                    "fused_local_ppf='always' requires bound params and "
+                    "batch_stats for the local MLP (got an apply without "
+                    f"{mlp.name!r})")
+            return True
         # 'auto' currently resolves to the unfused path everywhere: the
         # kernel computes MLP(ppf) for all n² pairs and measures ~2x slower
         # than the k-neighbor composition at the flagship shapes (see class
         # field comment). Flip here if k approaches n.
-        return self.fused_local_ppf == "always"
+        return False
 
     def _fused_local_ppf(self, mlp, coords, normals):
         """Run the local-PPF branch via the single-pass Pallas kernel with the

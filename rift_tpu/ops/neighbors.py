@@ -171,10 +171,25 @@ def ball_query_group(centers: Array, points: Array, features: Array,
     that is not duplicate-invariant. For max-pool consumers, masking with
     slot_valid gives results identical to the ball_query+grouping
     composition (duplicates never change a max; the fallback row is slot 0).
+
+    Backend contract: the [..., m, u, n] boolean selector below is only
+    legal because XLA fuses its producer into the dot (on TPU this is the
+    point of the formulation — the MXU streams it; materialized it would be
+    64 GiB at flagship shapes). On non-TPU backends the dense path is used
+    only while the selector stays small; above ~2^27 elements it falls back
+    to the ball_query+grouping composition with slot_valid masking, which
+    yields identical outputs for mask-respecting consumers.
     """
     u = num_neighbors
     n = points.shape[-2]
     d2 = pairwise_sqdist(centers, points)  # [..., m, n]
+    if jax.default_backend() != "tpu" and d2.size * u > 2**27:
+        idx = ball_query(centers, points, radius, u)
+        grouped = grouping(features, idx)
+        count = jnp.sum((d2 < radius * radius) & (d2 > 1e-5), axis=-1)
+        slot_valid = (jnp.arange(u, dtype=jnp.int32)
+                      < jnp.maximum(count, 1)[..., None])
+        return jnp.where(slot_valid[..., None], grouped, 0.0), slot_valid
     valid = (d2 < radius * radius) & (d2 > 1e-5)
     vi = valid.astype(jnp.int32)
     rank = jnp.cumsum(vi, axis=-1) - vi  # exclusive prefix count

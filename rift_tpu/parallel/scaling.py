@@ -33,7 +33,9 @@ class WeakScalingResult:
 
     @property
     def efficiency(self) -> list[float]:
-        """Throughput(N) / (N * throughput(1)) per mesh size."""
+        """Per-device throughput relative to the SMALLEST measured mesh:
+        eff(N) = (tput(N)/N) / (tput(N0)/N0). Equals the classic
+        tput(N)/(N*tput(1)) when mesh size 1 is measured."""
         if not self.pairs_per_s:
             return []
         base = self.pairs_per_s[0] / self.mesh_sizes[0]
@@ -47,7 +49,7 @@ class WeakScalingResult:
         }
 
 
-def _build_pipeline(model, variables):
+def _build_pipeline(model):
     """One jitted program: features for both clouds of every pair ->
     mutual-NN matching -> GNC-TLS pose. Batch-sharded in, replicated out."""
     from ..ops.neighbors import mutual_nearest_neighbors
@@ -101,8 +103,10 @@ def registration_weak_scaling(
 
     sample = jnp.concatenate(
         [jnp.asarray(src_all[:1]), jnp.zeros((1, num_points, 3))], -1)
-    variables = model.init(jax.random.PRNGKey(0), sample, train=False)
-    register_batch = _build_pipeline(model, variables)
+    variables = jax.jit(
+        lambda rng, x: model.init(rng, x, train=False))(
+            jax.random.PRNGKey(0), sample)
+    register_batch = _build_pipeline(model)
 
     result = WeakScalingResult()
     for size in sizes:

@@ -14,7 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.neighbors import pairwise_sqdist
@@ -55,7 +55,7 @@ def sharded_mutual_nn(feat1: Array, feat2: Array, mesh: Mesh,
         local, mesh=mesh,
         in_specs=(P(axis, None), P(None, None)),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )(feat1, feat2)
     idx1 = jnp.arange(n1, dtype=jnp.int32)
     return idx1, corr12, mask

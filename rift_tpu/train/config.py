@@ -87,6 +87,12 @@ class EvalConfig:
     # --best_ckpt_to_test / common fallback). None -> config.train.ckpt_dir.
     ckpt_dir: str | None = None
     ckpt_name: str = "common"      # or 'best_<metric>'
+    # Voxelize in the canonical (LRF) frame at eval: makes per-point trunk
+    # features exactly rotation-invariant (param-compatible with trunks
+    # trained under SO(3) augmentation at use_new_coords_for_voxel=False;
+    # the reference leaves the voxel grid in the raw rotated frame, which
+    # breaks point-for-point matching under large rotations).
+    canonical_voxel: bool = True
 
 
 @dataclass

@@ -261,6 +261,11 @@ def extractor_from_snapshot(config: ExperimentConfig, snapshot: dict
     else:
         mcfg = config.model
     mcfg = _dc.replace(mcfg, is_classify=False)
+    if (config.evaluate.canonical_voxel
+            and mcfg.rot_invariant_preprocess == "change_coords"):
+        # Param-compatible arch toggle: voxel grid in the canonical frame ->
+        # per-point features exactly SO(3)-invariant (see EvalConfig).
+        mcfg = _dc.replace(mcfg, use_new_coords_for_voxel=True)
     eval_cfg = _dc.replace(config, model=mcfg)
     return build_model(eval_cfg)
 

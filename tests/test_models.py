@@ -162,3 +162,40 @@ def test_fused_local_ppf_flag_validation(rng):
         forced.apply(variables, x, train=True,
                      rngs={"dropout": jax.random.PRNGKey(0)},
                      mutable=["batch_stats"])
+
+
+def test_per_point_features_invariant_end_to_end(rng):
+    """Registration-mode trunk with canonical voxel coords: per-point
+    features of an exactly-rotated copy must match point-for-point (the
+    premise of two-stage registration). Requires BOTH the raw-frame local
+    features (the reference mixes canonical coords with world normals when
+    use_new_coords_for_voxel=True) and equivariant normal estimation."""
+    import jax
+
+    from rift_tpu.ops import se3
+    from rift_tpu.ops.neighbors import mutual_nearest_neighbors
+    from rift_tpu.ops.normals import estimate_normals
+
+    model = PVCNNClassifier(
+        blocks=TINY_BLOCKS, dim_k=16, is_classify=False,
+        point_kernel_formal="dgcnn_kernel", voxel_shape="spherical",
+        rot_invariant_preprocess="change_coords", with_local_feat="ppf",
+        extra_feature_channels=4, local_neighbors=16,
+        use_new_coords_for_voxel=True,
+    )
+    n = 128
+    pts = rng.randn(n, 3).astype(np.float32)
+    pts[:, 0] += 0.8 * (pts[:, 1] > 0)  # break point symmetry
+    pts -= pts.mean(0)
+    t = np.asarray(se3.random_rotation(jax.random.PRNGKey(5), max_amp=0.0))
+    moved = pts @ t[:3, :3].T
+
+    both = jnp.asarray(np.stack([pts, moved]))
+    x = jnp.concatenate([both, estimate_normals(both)], -1)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    feats = model.apply(variables, x, train=False)
+    i1, i2, mask = mutual_nearest_neighbors(feats[0], feats[1])
+    i2, mask = np.asarray(i2), np.asarray(mask)
+    correct = ((i2 == np.arange(n)) & mask).sum() / max(mask.sum(), 1)
+    assert mask.mean() > 0.95, mask.mean()
+    assert correct > 0.95, correct

@@ -57,3 +57,26 @@ def test_estimate_normals_on_plane(rng):
     np.testing.assert_allclose(np.abs(normals[:, 2]), 1.0, atol=1e-3)
     # camera at origin is below the plane -> normals point to -z... towards origin
     assert np.all(normals[:, 2] < 0)
+
+
+def test_estimate_normals_equivariant_on_sparse_cloud(rng):
+    """Hybrid search keeps normals rotation-EQUIVARIANT even where a fixed
+    radius finds <3 neighbors (rank-deficient covariance used to give an
+    arbitrary eigenvector that silently rotated with nothing)."""
+    import jax.numpy as jnp
+
+    from rift_tpu.ops import se3
+    from rift_tpu.ops.normals import estimate_normals
+
+    # sparse: 200 points on a unit sphere -> typical spacing >> 0.1
+    import jax
+
+    u = rng.randn(200, 3).astype(np.float32)
+    pts = u / np.linalg.norm(u, axis=-1, keepdims=True)
+    t = np.asarray(se3.random_rotation(jax.random.PRNGKey(3), max_amp=0.0))
+    R = t[:3, :3]
+    n1 = np.asarray(estimate_normals(jnp.asarray(pts[None])))[0]
+    n2 = np.asarray(estimate_normals(jnp.asarray((pts @ R.T)[None])))[0]
+    err = np.linalg.norm(n1 @ R.T - n2, axis=-1)
+    assert np.median(err) < 1e-3
+    assert (err > 0.1).mean() < 0.02, (err > 0.1).mean()

@@ -96,20 +96,55 @@ def class_params(label: int) -> np.ndarray:
     return rs.uniform(0.4, 1.0, size=5)
 
 
+def class_structure(label: int) -> list[tuple[int, np.ndarray, float,
+                                              np.ndarray, float]]:
+    """Deterministic composite spec for a class: [(family, params, scale,
+    offset, point_fraction)].
+
+    Classes are ASYMMETRIC composites (a primary primitive plus 1-2 smaller
+    primitives at off-center offsets) — like real ModelNet40 objects
+    (airplanes, chairs), and unlike single superellipsoids/tori, they are
+    not point-symmetric, so a global reference frame is well-defined. A
+    symmetric corpus makes two-stage registration intrinsically ambiguous
+    (every global-LRF method flips on resampled symmetric shapes)."""
+    rs = np.random.RandomState(5000 + label)
+    n_parts = 2 + (label % 2)
+    fracs = ([0.6, 0.4] if n_parts == 2 else [0.5, 0.3, 0.2])
+    scales = [1.0, 0.45, 0.3]
+    specs = []
+    for j in range(n_parts):
+        fam = int(rs.randint(0, len(_FAMILIES)))
+        params = rs.uniform(0.4, 1.0, 5)
+        if j == 0:
+            offset = np.zeros(3)
+        else:
+            offset = rs.uniform(-0.5, 0.5, 3)
+            offset += np.sign(offset + 1e-9) * 0.35  # keep it off-center
+        specs.append((fam, params, scales[j], offset, fracs[j]))
+    return specs
+
+
 def make_cloud(label: int, num_points: int, seed: int,
                with_normals: bool = True) -> np.ndarray:
     """One cloud of class `label`: [n, 6] (xyz + unit normal) or [n, 3]."""
     rs = np.random.RandomState(seed)
-    fam = _FAMILIES[label % len(_FAMILIES)]
-    p = class_params(label)
-    u = rs.uniform(0, 2 * np.pi, num_points)
-    v = rs.uniform(1e-3, np.pi - 1e-3, num_points)
-    pts, n = fam(u, v, p)
-    # mild per-class anisotropy so families split into distinct classes
-    scale = 0.5 + 0.5 * (class_params(label * 7 + 3)[:3])
-    pts = pts * scale
-    n = n / scale
-    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    aniso = 0.5 + 0.5 * (class_params(label * 7 + 3)[:3])
+    specs = class_structure(label)
+    counts = [max(int(num_points * frac), 8) for *_, frac in specs]
+    counts[0] += num_points - sum(counts)
+    pts_parts, nrm_parts = [], []
+    for (fam_idx, params, scale, offset, _), n_j in zip(specs, counts):
+        fam = _FAMILIES[fam_idx % len(_FAMILIES)]
+        u = rs.uniform(0, 2 * np.pi, n_j)
+        v = rs.uniform(1e-3, np.pi - 1e-3, n_j)
+        pts, n = fam(u, v, params)
+        pts = pts * aniso * scale + offset
+        n = n / aniso
+        n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+        pts_parts.append(pts)
+        nrm_parts.append(n)
+    pts = np.concatenate(pts_parts, 0)[:num_points]
+    n = np.concatenate(nrm_parts, 0)[:num_points]
     pts = pts - pts.mean(0, keepdims=True)
     pts /= np.max(np.linalg.norm(pts, axis=-1)) + 1e-9
     out = np.concatenate([pts, n], axis=-1) if with_normals else pts

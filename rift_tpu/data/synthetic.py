@@ -125,11 +125,28 @@ def class_structure(label: int) -> list[tuple[int, np.ndarray, float,
 
 
 def make_cloud(label: int, num_points: int, seed: int,
-               with_normals: bool = True) -> np.ndarray:
-    """One cloud of class `label`: [n, 6] (xyz + unit normal) or [n, 3]."""
+               with_normals: bool = True,
+               instance_jitter: float = 0.12) -> np.ndarray:
+    """One cloud of class `label`: [n, 6] (xyz + unit normal) or [n, 3].
+
+    `instance_jitter` perturbs the class's composite spec per item (part
+    parameters, scales, offsets, anisotropy) — real ModelNet40 classes
+    contain distinct mesh instances, not resamplings of one surface, and
+    without within-class variation the classification task saturates
+    trivially. Jitter is deterministic in `seed`, small relative to the
+    inter-class parameter spread (classes draw params from U(0.4, 1.0))."""
     rs = np.random.RandomState(seed)
     aniso = 0.5 + 0.5 * (class_params(label * 7 + 3)[:3])
-    specs = class_structure(label)
+    aniso = aniso * (1.0 + instance_jitter * rs.uniform(-1, 1, 3))
+    specs = [
+        (fam, params * (1.0 + instance_jitter * rs.uniform(-1, 1, 5)),
+         scale * (1.0 + instance_jitter * rs.uniform(-1, 1)),
+         offset + (instance_jitter * 0.5) * rs.uniform(-1, 1, 3)
+         if j > 0 else offset,
+         frac)
+        for j, (fam, params, scale, offset, frac)
+        in enumerate(class_structure(label))
+    ]
     counts = [max(int(num_points * frac), 8) for *_, frac in specs]
     counts[0] += num_points - sum(counts)
     pts_parts, nrm_parts = [], []

@@ -16,6 +16,13 @@ Pallas pass with NO HBM intermediates:
 - the eval-mode SharedMLP (Dense+BatchNorm folded to one affine per layer)
   runs on the MXU per (i,j)-tile and is max-reduced immediately, so the
   [TI,TJ,64] activations never leave VMEM;
+- the MLP's contractions are K=4 and K=32 — 3-25% MXU lane utilization if
+  issued naively (this dominated the v1 kernel's runtime). Both layers are
+  therefore packed to dense K=128: G consecutive pair-rows fold into one
+  MXU row via a contiguous reshape ([R,4] -> [R/32,128]), multiplied by a
+  block-diagonal weight matrix with G copies of W on the diagonal, and the
+  output unfolds with another contiguous reshape — no cross-lane shuffles,
+  2.7x fewer MXU block passes;
 - points with no in-radius neighbor fall back to the PPF of their nearest
   point (first index on ties), exactly like `ops.neighbors.ball_query`'s
   fallback — tracked as a running (min d², its PPF) pair in scratch.
@@ -64,9 +71,10 @@ def _acos(x: Array) -> Array:
 
 
 def _kernel(ci_ref, ni_ref, cj_ref, nj_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            w1p_ref, b1p_ref, w2p_ref, b2p_ref,
             out_ref, run_max, cnt, best_d2, best_ppf,
             *, radius: float, max_neighbors: int, ti: int, tj: int,
-            mlp_dtype: jnp.dtype):
+            k1: int, k2: int, mlp_dtype: jnp.dtype):
     j = pl.program_id(2)
     nj_tiles = pl.num_programs(2)
 
@@ -115,17 +123,21 @@ def _kernel(ci_ref, ni_ref, cj_ref, nj_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     keep = valid & (rank < float(max_neighbors))
     cnt[...] = cnt[...] + jnp.sum(v, axis=1, keepdims=True)
 
-    # Folded MLP on the MXU: [TI*TJ, 4] -> [·, H1] -> [·, H2].
+    # Folded MLP on the MXU with dense-K packing: every reshape below is
+    # contiguous (row-major flat order is unchanged), so Mosaic lowers them
+    # without cross-lane shuffles.
     w1 = w1_ref[...]
     w2 = w2_ref[...]
-    h1 = w1.shape[1]
     h2 = w2.shape[1]
-    pmat = jnp.stack([a1, a2, a3, dn], axis=-1).reshape(ti * tj, 4)
-    hid = jnp.dot(pmat.astype(mlp_dtype), w1.astype(mlp_dtype),
-                  preferred_element_type=jnp.float32) + b1_ref[0][None, :]
-    hid = jnp.maximum(hid, 0.0)
-    out = jnp.dot(hid.astype(mlp_dtype), w2.astype(mlp_dtype),
-                  preferred_element_type=jnp.float32) + b2_ref[0][None, :]
+    rows = ti * tj
+    pmat = jnp.stack([a1, a2, a3, dn], axis=-1)            # [TI, TJ, 4]
+    pmat = pmat.reshape(rows // k1, k1 * 4)                # K = 128 dense
+    hid = jnp.dot(pmat.astype(mlp_dtype), w1p_ref[...],
+                  preferred_element_type=jnp.float32) + b1p_ref[0][None, :]
+    hid = jnp.maximum(hid, 0.0)                            # [R/k1, k1*H1]
+    hid = hid.reshape(rows // k2, k2 * w1.shape[1])        # K = 128 dense
+    out = jnp.dot(hid.astype(mlp_dtype), w2p_ref[...],
+                  preferred_element_type=jnp.float32) + b2p_ref[0][None, :]
     out = jnp.maximum(out, 0.0).reshape(ti, tj, h2)
 
     # Arithmetic masking (Mosaic cannot minor-dim-broadcast an i1 mask):
@@ -147,7 +159,6 @@ def _kernel(ci_ref, ni_ref, cj_ref, nj_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     improved = tile_min < best_d2[:, 0:1]
     best_d2[...] = jnp.where(improved, tile_min, best_d2[...])
     best_ppf[...] = jnp.where(improved, cand, best_ppf[...])
-    del h1
 
     @pl.when(j == nj_tiles - 1)
     def _():
@@ -186,10 +197,28 @@ def local_ppf_fused(coords: Array, normals: Array,
     assert n % ti == 0 and n % tj == 0, (n, ti, tj)
     h1 = w1.shape[1]
     h2 = w2.shape[1]
+    # Dense-K MXU packing: k1 pair-rows share one L1 MXU row (K = 4*k1 =
+    # 128), k2 rows share one L2 row (K = h1*k2 = 128). Requires h1 | 128.
+    assert h1 <= 128 and 128 % h1 == 0, h1
+    k1 = 128 // 4
+    k2 = 128 // h1
+    assert (ti * tj) % k1 == 0 and (ti * tj) % k2 == 0, (ti, tj, h1)
+    mlp_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    def block_diag(w, copies):
+        """[a, b] -> [copies*a, copies*b] with `w` on the diagonal."""
+        eye = jnp.eye(copies, dtype=w.dtype)
+        a, c = w.shape
+        return jnp.einsum("st,qc->sqtc", eye, w).reshape(copies * a, copies * c)
+
+    w1p = block_diag(w1, k1).astype(mlp_dtype)   # [128, k1*h1]
+    w2p = block_diag(w2, k2).astype(mlp_dtype)   # [128, k2*h2]
+    b1p = jnp.tile(b1, k1)[None, :]
+    b2p = jnp.tile(b2, k2)[None, :]
+
     kernel = functools.partial(
         _kernel, radius=float(radius), max_neighbors=int(max_neighbors),
-        ti=ti, tj=tj,
-        mlp_dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32)
+        ti=ti, tj=tj, k1=k1, k2=k2, mlp_dtype=mlp_dtype)
     rep = lambda *_: (0, 0)
     return pl.pallas_call(
         kernel,
@@ -207,6 +236,10 @@ def local_ppf_fused(coords: Array, normals: Array,
             pl.BlockSpec((1, h1), rep, memory_space=pltpu.VMEM),
             pl.BlockSpec((h1, h2), rep, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h2), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, k1 * h1), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k1 * h1), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, k2 * h2), rep, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k2 * h2), rep, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, ti, h2), lambda bi, i, j: (bi, i, 0),
                                memory_space=pltpu.VMEM),
@@ -219,7 +252,7 @@ def local_ppf_fused(coords: Array, normals: Array,
         ],
         interpret=not _on_tpu(),
     )(coords[:, :, :], normals, coords, normals,
-      w1, b1[None, :], w2, b2[None, :])
+      w1, b1[None, :], w2, b2[None, :], w1p, b1p, w2p, b2p)
 
 
 def fold_dense_bn(kernel: Array, bias: Array, scale: Array, bn_bias: Array,

@@ -63,11 +63,24 @@ class CheckpointManager:
         (ref: `train.py:231-243` loads ckpt['model'] into a model whose
         head may differ from the training head): evaluation needs only
         params + batch_stats, so no optimizer template is required.
+
+        Arrays come back as host numpy regardless of where the checkpoint
+        was written: a template-free StandardCheckpointer restore replays
+        the *saved* shardings, which fails when evaluating a TPU-trained
+        checkpoint on CPU (and vice versa).
         """
+        import jax
+        import numpy as np
+
         path = self._path(name)
         if not os.path.isdir(path):
             return None
-        return self._ckptr.restore(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(path, restore_args=restore_args)
 
     def restore(self, template_state: TrainState, name: str = "common"
                 ) -> tuple[TrainState, dict] | None:

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Post-training validation battery for the flagship checkpoint.
+
+Runs, against a trained `mn40_sph_dg` checkpoint:
+  1. classification test accuracy under random SO(3) + rotation-consistency
+     (ref protocol: README.md:25-34, SO3_SO3 configs);
+  2. registration RRE/RTE/RMSE on clean / noise / partial pairs and the
+     ICL-NUIM-analog adjacent-scan set, for each robust estimator
+     (ref: README.md:36-61, datasets/deepgmr_mn40.py:71-97);
+  3. the multi-scan mapping pipeline (odometry -> pose graph -> BA -> ATE).
+
+Each step is run in a fresh subprocess under a timeout so a wedged TPU
+tunnel stalls one step, not the battery; failed steps are retried once and
+otherwise recorded as failed. Results append to VALIDATION_r02.jsonl and a
+human summary is rewritten at VALIDATION_r02.md.
+
+Usage:
+  python scripts/validate_flagship.py --ckpt checkpoints/mn40_sph_dg_r2b \
+      [--name best_acc] [--timeout 1800] [--steps cls,reg,map]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REG_MODES = ("clean", "noise", "partial", "icl_nuim")
+REG_METHODS = ("teaserpp", "ransac", "fgr")
+
+
+def run_step(tag: str, argv: list[str], timeout: float, retries: int = 1
+             ) -> dict:
+    for attempt in range(retries + 1):
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                argv, cwd=REPO, capture_output=True, text=True,
+                timeout=timeout)
+        except subprocess.TimeoutExpired:
+            print(f"[{tag}] TIMEOUT after {timeout:.0f}s "
+                  f"(attempt {attempt})", flush=True)
+            continue
+        out = proc.stdout + proc.stderr
+        if proc.returncode != 0:
+            print(f"[{tag}] rc={proc.returncode} (attempt {attempt})\n"
+                  + out[-2000:], flush=True)
+            continue
+        metrics = {}
+        for line in proc.stdout.splitlines():
+            m = re.match(r"^([a-z_0-9]+):\s*(-?[0-9.]+(?:e-?\d+)?)$", line)
+            if m:
+                metrics[m.group(1)] = float(m.group(2))
+        return {"tag": tag, "ok": True, "metrics": metrics,
+                "sec": round(time.time() - t0, 1)}
+    return {"tag": tag, "ok": False, "metrics": {},
+            "sec": round(time.time() - t0, 1)}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--name", default=None,
+                    help="checkpoint name inside --ckpt (common/best_acc)")
+    ap.add_argument("--timeout", type=float, default=1800.0)
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    ap.add_argument("--steps", default="cls,reg,map")
+    ap.add_argument("--methods", default=",".join(REG_METHODS))
+    ap.add_argument("--jsonl", default=os.path.join(REPO,
+                                                    "VALIDATION_r02.jsonl"))
+    args = ap.parse_args()
+    steps = args.steps.split(",")
+    methods = args.methods.split(",")
+    py = sys.executable
+    plat = ["--platform", args.platform] if args.platform else []
+    ckpt_args = ["--ckpt", args.ckpt]
+    if args.name and args.name.startswith("best_"):
+        ckpt_args += ["--best", args.name.removeprefix("best_")]
+    results: list[dict] = []
+
+    def record(res):
+        results.append(res)
+        with open(args.jsonl, "a") as f:
+            f.write(json.dumps(res) + "\n")
+        print(f"[{res['tag']}] ok={res['ok']} {res['metrics']} "
+              f"({res['sec']}s)", flush=True)
+
+    if "cls" in steps:
+        record(run_step(
+            "cls",
+            [py, "-m", "rift_tpu.cli", *plat, "evaluate-cls",
+             "--preset", "mn40_sph_dg", *ckpt_args, "--rotations", "4",
+             "dataset.synthetic_items={'train':2048,'valid':512,'test':512}"],
+            args.timeout))
+    if "reg" in steps:
+        for mode in REG_MODES:
+            for method in methods:
+                record(run_step(
+                    f"reg_{mode}_{method}",
+                    [py, "-m", "rift_tpu.cli", *plat, "evaluate",
+                     "--preset", f"reg_{mode}_{method}_cu_dg", *ckpt_args],
+                    args.timeout))
+    if "map" in steps:
+        record(run_step(
+            "map",
+            [py, "-m", "rift_tpu.cli", *plat, "map-sequence",
+             "--preset", "reg_icl_nuim_teaserpp_cu_dg", *ckpt_args],
+            args.timeout))
+
+    write_summary(results, args.ckpt)
+    return 0 if all(r["ok"] for r in results) else 1
+
+
+def write_summary(results: list[dict], ckpt: str) -> None:
+    path = os.path.join(REPO, "VALIDATION_r02.md")
+    by = {r["tag"]: r for r in results}
+    lines = [
+        "# VALIDATION — round 2 flagship checkpoint",
+        "",
+        f"Checkpoint: `{ckpt}` (trained on the procedural asymmetric-composite",
+        "corpus — real ModelNet40 is not redistributable in this environment,",
+        "see `rift_tpu/data/synthetic.py`). Reference targets in BASELINE.md",
+        "are on real ModelNet40/ICL-NUIM; these numbers validate the *system*",
+        "(learned features -> matching -> robust pose) end to end on",
+        "like-structured data.",
+        "",
+    ]
+    cls = by.get("cls")
+    if cls:
+        m = cls["metrics"]
+        lines += [
+            "## Classification (random SO(3) test split)",
+            "",
+            f"- accuracy: **{m.get('acc', float('nan')):.4f}** "
+            "(reference sph-dg on real MN40: 0.897, README.md:34)",
+            f"- rotation agreement (4 random SO(3) copies): "
+            f"{m.get('rot_agree', float('nan')):.4f}",
+            f"- logit drift across rotations: "
+            f"{m.get('logit_drift', float('nan')):.4f}",
+            "",
+        ]
+    lines += ["## Registration (100 pairs each, trained trunk)", "",
+              "| set | method | RRE (deg) | RTE | RMSE | success |",
+              "|---|---|---|---|---|---|"]
+    for mode in REG_MODES:
+        for method in REG_METHODS:
+            r = by.get(f"reg_{mode}_{method}")
+            if not r:
+                continue
+            m = r["metrics"]
+            if not r["ok"]:
+                lines.append(f"| {mode} | {method} | FAILED | | | |")
+                continue
+            lines.append(
+                f"| {mode} | {method} | {m.get('rre', float('nan')):.3f} "
+                f"| {m.get('rte', float('nan')):.4f} "
+                f"| {m.get('rmse', float('nan')):.4f} "
+                f"| {m.get('succ', float('nan')):.2f} |")
+    lines.append("")
+    mp = by.get("map")
+    if mp:
+        m = mp["metrics"]
+        lines += [
+            "## Multi-scan mapping (north star)",
+            "",
+            "| stage | ATE |",
+            "|---|---|",
+            f"| odometry | {m.get('ate_odometry', float('nan')):.4f} |",
+            f"| pose graph | {m.get('ate_graph', float('nan')):.4f} |",
+            f"| bundle adjust | {m.get('ate_ba', float('nan')):.4f} |",
+            "",
+        ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,7 +21,8 @@ from .ransac import ransac_pose
 
 Array = jax.Array
 
-METHODS = ("ransac", "fgr", "teaserpp", "icp")
+METHODS = ("ransac", "fgr", "teaserpp", "icp",
+           "ransac+icp", "fgr+icp", "teaserpp+icp")
 
 
 @partial(jax.jit, static_argnames=("method", "num_hypotheses"))
@@ -43,7 +44,18 @@ def register_pair(
     with noise_bound 0.02 (deepgmr_mn40.py:173,207-216); 'ransac' ->
     voxel_size 0.08 (deepgmr_mn40.py:167); 'fgr' -> graduated Geman-McClure;
     'icp' -> threshold 0.2 from identity (open3d_func.py:62-71).
+
+    A '+icp' suffix ('ransac+icp', ...) runs dense point-to-point ICP from
+    the robust estimate: the robust solver works on mutual-NN feature
+    correspondences only, so its answer is bounded by matching noise; the
+    dense geometric polish converges to sub-degree poses whenever the
+    robust init lands in the true basin. (The reference treats ICP only as
+    a standalone from-identity method, open3d_func.py:62-71; composing it
+    as a refiner is strictly stronger and costs one extra lax.scan.)
     """
+    refine = method.endswith("+icp")
+    if refine:
+        method = method[: -len("+icp")]
     if method == "icp":
         transform = icp_pose(pts1, pts2)
         return transform, jnp.ones(pts1.shape[0], bool)
@@ -54,15 +66,20 @@ def register_pair(
 
     if method == "teaserpp":
         transform, w = gnc_pose(src, dst, mask, noise_bound=noise_bound)
-        return transform, w > 0.5
-    if method == "fgr":
+        inliers = w > 0.5
+    elif method == "fgr":
         transform, w = gnc_pose(src, dst, mask, noise_bound=2 * noise_bound,
                                 kind="gm")
-        return transform, w > 0.5
-    if method == "ransac":
+        inliers = w > 0.5
+    elif method == "ransac":
         if key is None:
             key = jax.random.PRNGKey(0)
-        return ransac_pose(key, src, dst, mask,
-                           num_hypotheses=num_hypotheses,
-                           inlier_threshold=inlier_threshold)
-    raise ValueError(f"unknown method {method!r}; expected one of {METHODS}")
+        transform, inliers = ransac_pose(key, src, dst, mask,
+                                         num_hypotheses=num_hypotheses,
+                                         inlier_threshold=inlier_threshold)
+    else:
+        raise ValueError(
+            f"unknown method {method!r}; expected one of {METHODS}")
+    if refine:
+        transform = icp_pose(pts1, pts2, init_transform=transform)
+    return transform, inliers

@@ -186,3 +186,24 @@ def test_rotation_from_h_matches_svd_formula(rng):
         # and verify got is a proper rotation
         np.testing.assert_allclose(got @ got.T, np.eye(3), atol=1e-4)
         assert np.linalg.det(got) > 0.99
+
+
+@pytest.mark.parametrize("method", ["ransac+icp", "teaserpp+icp"])
+def test_register_pair_icp_refinement_tightens_pose(rng, method):
+    """'+icp' composite: dense geometric polish from the robust init beats
+    the correspondence-only estimate on noisy matches."""
+    src, dst, t = _random_pair(rng, noise=0.0)
+    # features noisy enough that mutual-NN has some wrong matches
+    feat = (src + rng.randn(*src.shape).astype(np.float32) * 0.02)
+    feat2 = (src + rng.randn(*src.shape).astype(np.float32) * 0.02)
+    args = (jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(feat), jnp.asarray(feat2))
+    raw, _ = register_pair(*args, key=jax.random.PRNGKey(0),
+                           method=method.removesuffix("+icp"))
+    ref, _ = register_pair(*args, key=jax.random.PRNGKey(0), method=method)
+    def rre(est):
+        err = pair_errors(jnp.asarray(src[None]), jnp.asarray(t[None]),
+                          jnp.asarray(np.asarray(est)[None]))
+        return float(err["rre"][0])
+    assert rre(ref) <= rre(raw) + 1e-6, (rre(ref), rre(raw))
+    assert rre(ref) < 0.5, rre(ref)

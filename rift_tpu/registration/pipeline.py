@@ -16,13 +16,14 @@ import jax.numpy as jnp
 
 from ..ops.neighbors import mutual_nearest_neighbors
 from .gnc import gnc_pose
-from .icp import icp_pose
+from .icp import icp_plane_pose, icp_pose
 from .ransac import ransac_pose
 
 Array = jax.Array
 
 METHODS = ("ransac", "fgr", "teaserpp", "icp",
-           "ransac+icp", "fgr+icp", "teaserpp+icp")
+           "ransac+icp", "fgr+icp", "teaserpp+icp",
+           "ransac+picp", "fgr+picp", "teaserpp+picp")
 
 
 @partial(jax.jit, static_argnames=("method", "num_hypotheses"))
@@ -52,10 +53,16 @@ def register_pair(
     robust init lands in the true basin. (The reference treats ICP only as
     a standalone from-identity method, open3d_func.py:62-71; composing it
     as a refiner is strictly stronger and costs one extra lax.scan.)
+    '+picp' refines point-to-PLANE instead (normals estimated on device):
+    independently resampled scans give point-to-point ICP a bias floor;
+    the plane residual removes it (see registration/icp.py).
     """
-    refine = method.endswith("+icp")
-    if refine:
-        method = method[: -len("+icp")]
+    refine = None
+    for suffix in ("+icp", "+picp"):
+        if method.endswith(suffix):
+            refine = suffix
+            method = method[: -len(suffix)]
+            break
     if method == "icp":
         transform = icp_pose(pts1, pts2)
         return transform, jnp.ones(pts1.shape[0], bool)
@@ -80,6 +87,17 @@ def register_pair(
     else:
         raise ValueError(
             f"unknown method {method!r}; expected one of {METHODS}")
-    if refine:
+    if refine == "+icp":
         transform = icp_pose(pts1, pts2, init_transform=transform)
+    elif refine == "+picp":
+        # Coarse-to-fine: point-to-point first (wide 0.2 gate, robust to a
+        # coarse init), then point-to-plane with a tight gate — the plane
+        # residual removes the resampling bias floor but is sensitive to
+        # wrong-surface matches, so it only runs near the optimum.
+        from ..ops.normals import estimate_normals
+
+        transform = icp_pose(pts1, pts2, init_transform=transform)
+        transform = icp_plane_pose(pts1, pts2, estimate_normals(pts2),
+                                   init_transform=transform,
+                                   max_correspondence_distance=0.05)
     return transform, inliers

@@ -207,3 +207,50 @@ def test_register_pair_icp_refinement_tightens_pose(rng, method):
         return float(err["rre"][0])
     assert rre(ref) <= rre(raw) + 1e-6, (rre(ref), rre(raw))
     assert rre(ref) < 0.5, rre(ref)
+
+
+def test_icp_plane_beats_point_on_resampled_planes(rng):
+    """Independently-sampled planar surfaces: point-to-point ICP has a
+    sampling-mismatch bias floor; point-to-plane converges to the pose."""
+    from rift_tpu.registration.icp import icp_plane_pose
+
+    def sample_scene(n):
+        # two orthogonal planes (floor + wall), like a room corner
+        m = n // 2
+        floor = np.stack([rng.rand(m) * 2 - 1, rng.rand(m) * 2 - 1,
+                          np.zeros(m)], -1)
+        wall = np.stack([rng.rand(n - m) * 2 - 1, np.full(n - m, -1.0),
+                         rng.rand(n - m)], -1)
+        return np.concatenate([floor, wall]).astype(np.float32)
+
+    src = sample_scene(512)
+    dst0 = sample_scene(512)  # SAME surfaces, different sample points
+    t_small = np.asarray(se3.make_se3(
+        se3.exp_so3(jnp.asarray([0.02, 0.01, -0.03])),
+        jnp.asarray([0.03, -0.02, 0.01])), dtype=np.float32)
+    dst = dst0 @ t_small[:3, :3].T + t_small[:3, 3]
+    normals = np.where(dst0[:, 2:3] == 0.0,
+                       np.array([[0.0, 0, 1]]), np.array([[0.0, 1, 0]]))
+    normals = (normals @ t_small[:3, :3].T).astype(np.float32)
+
+    est_pt = np.asarray(icp_pose(jnp.asarray(src), jnp.asarray(dst)))
+    est_pl = np.asarray(icp_plane_pose(jnp.asarray(src), jnp.asarray(dst),
+                                       jnp.asarray(normals)))
+
+    def rot_err(est):
+        c = (np.trace(t_small[:3, :3].T @ est[:3, :3]) - 1) / 2
+        return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+    assert rot_err(est_pl) < 0.05, rot_err(est_pl)
+    assert rot_err(est_pl) < rot_err(est_pt), (rot_err(est_pl), rot_err(est_pt))
+
+
+def test_register_pair_picp_runs(rng):
+    src, dst, t = _random_pair(rng, noise=0.002)
+    feat = rng.randn(len(src), 16).astype(np.float32)
+    est, _ = register_pair(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(feat),
+        jnp.asarray(feat), key=jax.random.PRNGKey(1), method="ransac+picp")
+    err = pair_errors(jnp.asarray(src[None]), jnp.asarray(t[None]),
+                      jnp.asarray(np.asarray(est)[None]))
+    assert float(err["rre"][0]) < 1.0

@@ -67,7 +67,7 @@ def icp_plane_pose(
     max_correspondence_distance: float = 0.2,
     max_iterations: int = 20,
     damping: float = 1e-6,
-    point_weight: float = 0.2,
+    rank_tau: float = 1e-3,
 ) -> Array:
     """Point-to-plane ICP: src [n, 3], dst [m, 3], dst_normals [m, 3]
     (unit) -> refined transform [4, 4].
@@ -78,11 +78,15 @@ def icp_plane_pose(
     solves in closed form and the rotation update is exp_so3(ω)·R (exact on
     the manifold, no re-orthogonalization drift).
 
-    `point_weight` blends in that fraction of the point-to-point residual
-    (squared, same units): a pure plane objective is rank-deficient on
-    plane-dominated scans (rotation about a floor's normal is free and GN
-    drifts along it); the point term fills the null space while the plane
-    term still dominates accuracy wherever it constrains.
+    A pure plane objective is rank-deficient on plane-dominated scans
+    (e.g. translation along a floor is free), so the point-to-point system
+    is blended in — but only along the eigendirections of the plane
+    Hessian that the plane residuals leave unconstrained (soft projector
+    m_i = τλ_max/(λ_i + τλ_max) over the 6×6 eigenbasis). Where the plane
+    system constrains a direction, the point term contributes ~nothing, so
+    the resampling bias of point-to-point matching cannot leak back into
+    well-conditioned poses; where it does not, the point term fills the
+    null space.
     """
     init = (jnp.eye(4, dtype=src.dtype) if init_transform is None
             else init_transform)
@@ -101,17 +105,23 @@ def icp_plane_pose(
         r = jnp.sum((moved - q) * n, axis=-1)          # [n]
         jac = jnp.concatenate([jnp.cross(moved, n), n], axis=-1)  # [n, 6]
         jw = jac * w[:, None]
-        h = jw.T @ jac + damping * jnp.eye(6, dtype=src.dtype)
+        h = jw.T @ jac                                 # plane Hessian [6, 6]
         g = jw.T @ r
-        if point_weight > 0.0:
-            # point residual r_p = p' − q, J_p = [−[p']ₓ | I]  ([n, 3, 6])
-            skew = jnp.cross(moved[:, None, :], eye3[None])  # row j: p'×e_j
-            jp = jnp.concatenate(
-                [skew, jnp.broadcast_to(eye3, skew.shape)], axis=-1)
-            rp = moved - q
-            jpw = jp * w[:, None, None]
-            h = h + point_weight * jnp.einsum("nij,nik->jk", jpw, jp)
-            g = g + point_weight * jnp.einsum("nij,ni->j", jpw, rp)
+        # Point-to-point system, projected onto the plane system's weak
+        # eigendirections only: r_p = p' − q, J_p = [−[p']ₓ | I] ([n, 3, 6]).
+        skew = jnp.cross(moved[:, None, :], eye3[None])  # row j: p'×e_j
+        jp = jnp.concatenate(
+            [skew, jnp.broadcast_to(eye3, skew.shape)], axis=-1)
+        rp = moved - q
+        jpw = jp * w[:, None, None]
+        h_pt = jnp.einsum("nij,nik->jk", jpw, jp)
+        g_pt = jnp.einsum("nij,ni->j", jpw, rp)
+        lam, vec = jnp.linalg.eigh(h)
+        gate = rank_tau * jnp.maximum(lam[-1], 1e-20)
+        mask = gate / (lam + gate)                     # ≈1 weak, ≈0 strong
+        proj = (vec * mask[None, :]) @ vec.T           # soft null projector
+        h = h + proj @ h_pt @ proj + damping * jnp.eye(6, dtype=src.dtype)
+        g = g + proj @ g_pt
         delta = jnp.linalg.solve(h, -g)                # [ω, dt]
         rot_d = exp_so3(delta[:3])
         new_rot = rot_d @ rot

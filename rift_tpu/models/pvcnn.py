@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.fpfh import fpfh
-from ..ops.lrf import change_coords, global_lrf, local_lrf, pca_align
+from ..ops.lrf import change_coords, global_lrf, local_lrf, lrf_basis, pca_align
 from ..ops.neighbors import ball_query, ball_query_group, grouping
 from ..ops.ppf import global_ppf, local_ppf, new_ppf
 from ..nn.pvconv import PVConv
@@ -44,6 +44,12 @@ class PVCNNClassifier(nn.Module):
     voxel_resolution_multiplier: float = 1.0
     is_classify: bool = True
     rot_invariant_preprocess: str | None = "change_coords"
+    # Basis construction for 'change_coords': 'reference' = the reference's
+    # farthest-point LRF (pvcnn_classify.py:153-211 parity); 'pca' = the
+    # resample-stable PCA+third-moment frame (ops/lrf.py:pca_lrf — fixes
+    # the reference's frame instability, the dominant source of matching
+    # error on independently resampled pairs).
+    lrf_kind: str = "reference"
     with_local_feat: str | None = "ppf"  # 'ppf' | 'change_coords' | 'fpfh' | None
     with_transform_fine_tune: bool = False
     use_new_coords_for_voxel: bool = False
@@ -70,14 +76,19 @@ class PVCNNClassifier(nn.Module):
         return jnp.dtype(self.dtype) if self.dtype else None
 
     @nn.compact
-    def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, inputs: jnp.ndarray, train: bool = False,
+                 lrf: jnp.ndarray | None = None) -> jnp.ndarray:
+        """inputs [b, n, 3|6]; `lrf` [b, 3, 3] optionally overrides the
+        canonical basis for 'change_coords' (rows = axes) — used by the
+        eval pipeline's flip-hypothesis consensus matching."""
         b, n, in_ch = inputs.shape
         coords = inputs[..., :3]
         coords = coords - jnp.mean(coords, axis=-2, keepdims=True)
         normals = inputs[..., 3:6] if in_ch >= 6 else None
 
         raw_coords = coords
-        features, coords = self._preprocess(coords, normals, inputs, train)
+        features, coords = self._preprocess(coords, normals, inputs, train,
+                                            lrf)
 
         if self.with_local_feat is not None:
             # Local features always in the RAW (centered) frame: PPF is
@@ -127,7 +138,7 @@ class PVCNNClassifier(nn.Module):
         return nn.Dense(self.num_classes)(x)
 
     # ------------------------------------------------------------------ #
-    def _preprocess(self, coords, normals, inputs, train):
+    def _preprocess(self, coords, normals, inputs, train, lrf=None):
         """Rotation-invariant preprocess (ref: pvcnn_classify.py:94-251)."""
         mode = self.rot_invariant_preprocess
         if mode == "ppf":
@@ -137,7 +148,8 @@ class PVCNNClassifier(nn.Module):
             assert normals is not None
             return new_ppf(coords, normals), coords
         if mode == "change_coords":
-            new_coords = change_coords(coords)
+            basis = lrf if lrf is not None else lrf_basis(coords, self.lrf_kind)
+            new_coords = change_coords(coords, basis)
             features = new_coords
             if self.with_transform_fine_tune:
                 features = self._transform_fine_tune(coords, features, train)

@@ -61,8 +61,16 @@ def _inv3(m: Array) -> Array:
     return co / jnp.maximum(jnp.abs(det), 1e-12)[..., None, None] * jnp.sign(det)[..., None, None]
 
 
-def _landmark_terms(poses, landmarks, obs_pose, obs_local, damping):
-    """Per-landmark blocks: (W [Nl,K,6,3]... reduced to Schur pieces)."""
+def _landmark_terms(poses, landmarks, obs_pose, obs_local, damping,
+                    huber_delta=None):
+    """Per-landmark blocks: (W [Nl,K,6,3]... reduced to Schur pieces).
+
+    With `huber_delta`, each observation is IRLS-weighted by the Huber
+    influence w = min(1, δ/‖r‖) at the current iterate (√w scales r and
+    both Jacobians): mismatched correspondences — matches that are not the
+    same physical point — get bounded influence instead of quadratically
+    dragging the poses toward closing a gap that should not close.
+    """
     nl, k = obs_pose.shape
     valid = obs_pose >= 0
     safe_pose = jnp.maximum(obs_pose, 0)
@@ -75,6 +83,12 @@ def _landmark_terms(poses, landmarks, obs_pose, obs_local, damping):
     r = jnp.where(valid[..., None], r, 0.0)
     j_p = jnp.where(m, j_p, 0.0)
     j_l = jnp.where(m, j_l, 0.0)
+    if huber_delta is not None:
+        rn = jnp.linalg.norm(r, axis=-1)                  # [Nl, K]
+        sw = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(rn, 1e-12)))
+        r = r * sw[..., None]
+        j_p = j_p * sw[..., None, None]
+        j_l = j_l * sw[..., None, None]
 
     # H_ll [Nl, 3, 3] + damping, its inverse; W_k = J_pᵀ J_l  [Nl, K, 6, 3]
     h_ll = jnp.einsum("nkri,nkrj->nij", j_l, j_l) + damping * jnp.eye(3)
@@ -86,12 +100,13 @@ def _landmark_terms(poses, landmarks, obs_pose, obs_local, damping):
     return valid, r, a_inv, w, b_p, b_l, h_pp_diag
 
 
-def _assemble_schur(poses, landmarks, obs_pose, obs_local, damping):
+def _assemble_schur(poses, landmarks, obs_pose, obs_local, damping,
+                    huber_delta=None):
     """Partial Schur system from a landmark shard:
     (S [Np,Np,6,6], b [Np,6], plus back-substitution residuals)."""
     num_poses = poses.shape[0]
     valid, r, a_inv, w, b_p, b_l, h_pp_diag = _landmark_terms(
-        poses, landmarks, obs_pose, obs_local, damping
+        poses, landmarks, obs_pose, obs_local, damping, huber_delta
     )
     safe_pose = jnp.maximum(obs_pose, 0)
 
@@ -127,56 +142,98 @@ def _back_substitute(delta_p, aux):
     return -jnp.einsum("nij,nj->ni", a_inv, rhs)
 
 
-@partial(jax.jit, static_argnames=("num_iterations",))
+def _robust_cost(poses, landmarks, obs_pose, obs_local, huber_delta):
+    """Mean Huber cost over valid observations (monitor for the guard)."""
+    valid = obs_pose >= 0
+    safe_pose = jnp.maximum(obs_pose, 0)
+    nl, k = obs_pose.shape
+    r = jax.vmap(jax.vmap(
+        lambda p, x, y: _obs_residual(jnp.zeros(6, p.dtype), x, p, y)))(
+        poses[safe_pose],
+        jnp.broadcast_to(landmarks[:, None, :], (nl, k, 3)), obs_local)
+    rn = jnp.linalg.norm(jnp.where(valid[..., None], r, 0.0), axis=-1)
+    d = huber_delta if huber_delta is not None else 1e9
+    cost = jnp.where(rn <= d, 0.5 * rn**2, d * (rn - 0.5 * d))
+    cost = jnp.where(valid, cost, 0.0)
+    return jnp.sum(cost) / jnp.maximum(jnp.sum(valid), 1)
+
+
+@partial(jax.jit, static_argnames=("num_iterations", "huber_delta"))
 def bundle_adjust(poses: Array, landmarks: Array, obs_pose: Array,
                   obs_local: Array, num_iterations: int = 10,
-                  damping: float = 1e-4) -> tuple[Array, Array]:
+                  damping: float = 1e-4,
+                  huber_delta: float | None = 0.05) -> tuple[Array, Array]:
     """Joint pose+landmark refinement.
 
     poses [Np, 4, 4], landmarks [Nl, 3], obs_pose [Nl, K] int32 (-1 pad),
     obs_local [Nl, K, 3] -> (poses, landmarks) optimized, pose 0 fixed.
+
+    `huber_delta` enables robust IRLS weighting (see _landmark_terms); the
+    final iterate is additionally guarded: if the mean robust cost did not
+    improve over the input poses (e.g. mostly-wrong observations from
+    low-inlier edges), the input is returned unchanged — BA never makes the
+    trajectory worse under its own objective.
     """
     num_poses = poses.shape[0]
 
     def step(carry, _):
         poses, landmarks = carry
         s, b, aux = _assemble_schur(poses, landmarks, obs_pose, obs_local,
-                                    damping)
+                                    damping, huber_delta)
         delta_p = _solve_poses(s, b, num_poses, poses.dtype, damping)
         delta_l = _back_substitute(delta_p, aux)
         return (poses @ se3.exp_se3(delta_p), landmarks + delta_l), None
 
-    (poses, landmarks), _ = jax.lax.scan(
+    (new_poses, new_landmarks), _ = jax.lax.scan(
         step, (poses, landmarks), None, length=num_iterations
     )
-    return poses, landmarks
+    cost0 = _robust_cost(poses, landmarks, obs_pose, obs_local, huber_delta)
+    cost1 = _robust_cost(new_poses, new_landmarks, obs_pose, obs_local,
+                         huber_delta)
+    keep = cost1 < cost0
+    return (jnp.where(keep, new_poses, poses),
+            jnp.where(keep, new_landmarks, landmarks))
 
 
 def bundle_adjust_sharded(poses: Array, landmarks: Array, obs_pose: Array,
                           obs_local: Array, mesh, num_iterations: int = 10,
-                          damping: float = 1e-4, axis: str = "data"
+                          damping: float = 1e-4, axis: str = "data",
+                          huber_delta: float | None = 0.05
                           ) -> tuple[Array, Array]:
     """Landmark-sharded BA: per-shard partial Schur systems psum-reduced
     over ICI, replicated pose solve, shard-local landmark back-substitution.
-    Nl must divide the mesh size."""
+    Nl must divide the mesh size. Same Huber IRLS + cost guard as
+    `bundle_adjust` (costs psum-reduced so the guard decision replicates)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     num_poses = poses.shape[0]
 
+    def shard_cost(poses, lms, op_shard, ol_shard):
+        valid = (op_shard >= 0).sum()
+        return (jax.lax.psum(
+            _robust_cost(poses, lms, op_shard, ol_shard, huber_delta)
+            * jnp.maximum(valid, 1), axis),
+            jax.lax.psum(valid, axis))
+
     def solve(poses, lm_shard, op_shard, ol_shard):
         def step(carry, _):
             poses, lms = carry
-            s, b, aux = _assemble_schur(poses, lms, op_shard, ol_shard, damping)
+            s, b, aux = _assemble_schur(poses, lms, op_shard, ol_shard,
+                                        damping, huber_delta)
             s = jax.lax.psum(s, axis)
             b = jax.lax.psum(b, axis)
             delta_p = _solve_poses(s, b, num_poses, poses.dtype, damping)
             delta_l = _back_substitute(delta_p, aux)
             return (poses @ se3.exp_se3(delta_p), lms + delta_l), None
 
-        (poses, lms), _ = jax.lax.scan(step, (poses, lm_shard), None,
-                                       length=num_iterations)
-        return poses, lms
+        (new_poses, new_lms), _ = jax.lax.scan(step, (poses, lm_shard), None,
+                                               length=num_iterations)
+        c0, n0 = shard_cost(poses, lm_shard, op_shard, ol_shard)
+        c1, _ = shard_cost(new_poses, new_lms, op_shard, ol_shard)
+        keep = c1 < c0
+        return (jnp.where(keep, new_poses, poses),
+                jnp.where(keep, new_lms, lm_shard))
 
     fn = shard_map(
         solve, mesh=mesh,

@@ -68,6 +68,35 @@ def register_pair(
         return transform, jnp.ones(pts1.shape[0], bool)
 
     idx1, idx2, mask = mutual_nearest_neighbors(feat1, feat2)
+    return register_pair_from_matches(
+        pts1, pts2, idx1, idx2, mask, key=key,
+        method=method + (refine or ""), noise_bound=noise_bound,
+        inlier_threshold=inlier_threshold, num_hypotheses=num_hypotheses)
+
+
+@partial(jax.jit, static_argnames=("method", "num_hypotheses"))
+def register_pair_from_matches(
+    pts1: Array,
+    pts2: Array,
+    idx1: Array,
+    idx2: Array,
+    mask: Array,
+    key: Array | None = None,
+    method: str = "teaserpp",
+    noise_bound: float = 0.02,
+    inlier_threshold: float = 0.08,
+    num_hypotheses: int = 512,
+) -> tuple[Array, Array]:
+    """Robust pose (+ optional dense refinement) from PRECOMPUTED putative
+    correspondences (idx1, idx2, mask) — the entry point for callers that
+    build matches themselves (e.g. flip-hypothesis consensus matching,
+    registration/consensus.py)."""
+    refine = None
+    for suffix in ("+icp", "+picp"):
+        if method.endswith(suffix):
+            refine = suffix
+            method = method[: -len(suffix)]
+            break
     src = pts1[idx1]
     dst = pts2[idx2]
 

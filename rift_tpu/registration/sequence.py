@@ -159,7 +159,8 @@ def odometry_from_measurements(num_scans: int, i_idx: np.ndarray,
 def build_landmarks(scans: np.ndarray, poses: np.ndarray, i_idx: np.ndarray,
                     j_idx: np.ndarray, corr_idx2: np.ndarray,
                     corr_w: np.ndarray, measurements: np.ndarray,
-                    per_edge: int = 64
+                    per_edge: int = 64, max_residual: float | None = None,
+                    min_edge_inliers: float = 0.0
                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """BA input from the registration by-products: each confident mutual-NN
     match (p in scan i <-> q in scan j) becomes one landmark observed twice.
@@ -167,6 +168,13 @@ def build_landmarks(scans: np.ndarray, poses: np.ndarray, i_idx: np.ndarray,
     (not raw GNC weight): scans resample the surface independently, so the
     smallest-residual matches are the ones closest to a shared physical
     point — exactly the observations the single-landmark model assumes.
+
+    `max_residual` drops matches whose residual under the edge transform
+    exceeds it (a match that far off is not a shared physical point, so it
+    would feed BA a constraint that should not exist), and
+    `min_edge_inliers` drops ALL landmarks of an edge whose inlier fraction
+    is below it (such an edge's transform is itself unreliable, so even its
+    best-ranked matches are untrustworthy).
 
     Returns (landmarks [Nl, 3] world inits, obs_pose [Nl, 2] int32 (-1 pad),
     obs_local [Nl, 2, 3]); Nl = E * per_edge.
@@ -178,7 +186,12 @@ def build_landmarks(scans: np.ndarray, poses: np.ndarray, i_idx: np.ndarray,
         q_all = scans[j][corr_idx2[e]]
         resid = np.linalg.norm(
             scans[i] @ m[:3, :3].T + m[:3, 3] - q_all, axis=-1)
-        resid = np.where(corr_w[e] > 0.5, resid, np.inf)
+        inlier = corr_w[e] > 0.5
+        resid = np.where(inlier, resid, np.inf)
+        if max_residual is not None:
+            resid = np.where(resid <= max_residual, resid, np.inf)
+        if inlier.mean() < min_edge_inliers:
+            resid = np.full_like(resid, np.inf)
         order = np.argsort(resid, kind="stable")[:per_edge]
         valid = np.isfinite(resid[order])
         p = scans[i][order]                     # [L, 3] scan-i local
@@ -201,11 +214,19 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
                  inlier_threshold: float = 0.08, num_hypotheses: int = 512,
                  loop_stride: int = 6, landmarks_per_edge: int = 64,
                  gn_iterations: int = 10, ba_iterations: int = 8,
-                 mesh=None, batch_edges: int = 16, seed: int = 0
+                 mesh=None, batch_edges: int = 16, seed: int = 0,
+                 min_edge_inliers: float = 0.05
                  ) -> SequenceResult:
     """Full sequence pipeline; pass `mesh` to run the pose-graph and BA
     solves sharded over its 'data' axis (edges / landmarks distributed,
-    (H, b) and Schur systems psum-reduced over ICI)."""
+    (H, b) and Schur systems psum-reduced over ICI).
+
+    BA robustness (derived from noise_bound): landmark observations are
+    gated at 3x noise_bound residual under the edge transform, edges below
+    `min_edge_inliers` contribute no landmarks, and the solver itself runs
+    Huber IRLS (delta = 1.5x noise_bound) with a final accept-only-if-cost-
+    improves guard — together these keep mostly-wrong correspondence sets
+    from making the trajectory worse than the pose-graph input."""
     num_scans = scans.shape[0]
     i_idx, j_idx = build_edges(num_scans, loop_stride)
     measurements, corr_idx2, corr_w, edge_w = register_edges(
@@ -236,9 +257,11 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
             num_iterations=gn_iterations))
 
     # Bundle adjustment from the raw inlier correspondences.
+    huber_delta = 1.5 * noise_bound
     lms, obs_pose, obs_local = build_landmarks(
         scans, graph, i_idx, j_idx, corr_idx2, corr_w, measurements,
-        per_edge=landmarks_per_edge)
+        per_edge=landmarks_per_edge, max_residual=3.0 * noise_bound,
+        min_edge_inliers=min_edge_inliers)
     if mesh is not None:
         lms, obs_pose, obs_local = _pad_to_multiple(
             [lms, obs_pose, obs_local], n_dev,
@@ -246,11 +269,13 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
              np.zeros((2, 3), np.float32)])
         ba_poses, _ = bundle_adjust_sharded(
             jnp.asarray(graph), jnp.asarray(lms), jnp.asarray(obs_pose),
-            jnp.asarray(obs_local), mesh, num_iterations=ba_iterations)
+            jnp.asarray(obs_local), mesh, num_iterations=ba_iterations,
+            huber_delta=huber_delta)
     else:
         ba_poses, _ = bundle_adjust(
             jnp.asarray(graph), jnp.asarray(lms), jnp.asarray(obs_pose),
-            jnp.asarray(obs_local), num_iterations=ba_iterations)
+            jnp.asarray(obs_local), num_iterations=ba_iterations,
+            huber_delta=huber_delta)
     ba_poses = np.asarray(ba_poses)
 
     metrics = {"num_edges": float(len(i_idx)),

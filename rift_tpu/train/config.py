@@ -38,6 +38,11 @@ class ModelConfig:
     voxel_resolution_multiplier: float = 1.0
     is_classify: bool = True
     rot_invariant_preprocess: str | None = "change_coords"
+    # 'reference' = farthest-point LRF (reference parity);
+    # 'pca' = resample-stable PCA frame (ops/lrf.py:pca_lrf) — the flagship
+    # uses this: the reference LRF's sample sensitivity is the dominant
+    # matching-error source on independently resampled pairs.
+    lrf_kind: str = "reference"
     with_local_feat: str | None = "ppf"
     with_transform_fine_tune: bool = False
     use_new_coords_for_voxel: bool = False
@@ -70,8 +75,13 @@ class TrainConfig:
 
 @dataclass
 class EvalConfig:
-    # ref: deepgmr_* leaf configs (method + h5 path)
-    method: str = "teaserpp"       # 'ransac' | 'fgr' | 'teaserpp' | 'icp'
+    # ref: deepgmr_* leaf configs (method + h5 path). Base estimators
+    # 'ransac' | 'fgr' | 'teaserpp' | 'icp'; any of the first three may
+    # carry a '+icp' (dense point-to-point polish) or '+picp'
+    # (point-to-point then point-to-plane) suffix — the composite refines
+    # the robust correspondence-level estimate with dense geometry and is
+    # what the flagship presets use (registration/pipeline.py docstring).
+    method: str = "teaserpp"
     pairs_path: str | None = None  # h5 file; None -> synthetic pairs
     pairs_mode: str = "noise"      # 'clean' | 'noise' | 'partial'
     num_pairs: int = 100
@@ -93,6 +103,12 @@ class EvalConfig:
     # the reference leaves the voxel grid in the raw rotated frame, which
     # breaks point-for-point matching under large rotations).
     canonical_voxel: bool = True
+    # Flip-hypothesis consensus matching (registration/consensus.py):
+    # source features under all 4 right-handed LRF sign assignments, best
+    # hypothesis by rigidity consistency. Removes the canonical frame's
+    # sign ambiguity (the measured dominant catastrophic matching failure);
+    # costs 2.5x the feature forward at eval only.
+    flip_hypotheses: bool = True
 
 
 @dataclass

@@ -42,6 +42,7 @@ def build_model(config: ExperimentConfig) -> PVCNNClassifier:
         voxel_resolution_multiplier=m.voxel_resolution_multiplier,
         is_classify=m.is_classify,
         rot_invariant_preprocess=m.rot_invariant_preprocess,
+        lrf_kind=m.lrf_kind,
         with_local_feat=m.with_local_feat,
         with_transform_fine_tune=m.with_transform_fine_tune,
         use_new_coords_for_voxel=m.use_new_coords_for_voxel,
@@ -329,24 +330,61 @@ def evaluate_registration(config: ExperimentConfig, state=None,
     noise_bound = config.evaluate.noise_bound
     inlier_threshold = config.evaluate.inlier_threshold
     num_hypotheses = config.evaluate.num_hypotheses
+    use_flips = (config.evaluate.flip_hypotheses
+                 and model.rot_invariant_preprocess == "change_coords")
 
     @jax.jit
     def register_batch(variables, src, dst, keys):
         # Both clouds of every pair through one forward: [2b, n, 6]
         # (normals on device; ref estimates with Open3D per pair :55-56).
+        b, n = src.shape[:2]
         clouds = jnp.concatenate([src, dst], 0)
         x = jnp.concatenate([clouds, estimate_normals(clouds)], -1)
-        feats = model.apply(variables, x, train=False)
-        f_src, f_dst = feats[:src.shape[0]], feats[src.shape[0]:]
+        if not use_flips:
+            feats = model.apply(variables, x, train=False)
+            f_src, f_dst = feats[:b], feats[b:]
 
-        def one(s, d, fs, fd, k):
-            est, _ = register_pair(
-                s, d, fs, fd, key=k, method=method, noise_bound=noise_bound,
-                inlier_threshold=inlier_threshold,
+            def one(s, d, fs, fd, k):
+                est, _ = register_pair(
+                    s, d, fs, fd, key=k, method=method,
+                    noise_bound=noise_bound,
+                    inlier_threshold=inlier_threshold,
+                    num_hypotheses=num_hypotheses)
+                return est
+
+            return jax.vmap(one)(src, dst, f_src, f_dst, keys)
+
+        # Flip-hypothesis consensus (registration/consensus.py): source
+        # features under the 4 right-handed sign assignments of its LRF,
+        # target under its primary frame; per pair, keep the hypothesis
+        # whose mutual-NN matches are the most rigidity-consistent. This
+        # removes the canonical frame's sign ambiguity — the measured
+        # dominant catastrophic-failure mode of matching.
+        from ..ops.lrf import lrf_basis, lrf_flip_hypotheses
+        from ..registration.consensus import consensus_match
+        from ..registration.pipeline import register_pair_from_matches
+
+        centered = clouds - jnp.mean(clouds, axis=-2, keepdims=True)
+        basis = lrf_basis(centered, model.lrf_kind)          # [2b, 3, 3]
+        basis_src_h = lrf_flip_hypotheses(basis[:b])         # [b, 4, 3, 3]
+        x_all = jnp.concatenate(
+            [jnp.repeat(x[:b], 4, axis=0), x[b:]], 0)        # [5b, n, 6]
+        lrf_all = jnp.concatenate(
+            [basis_src_h.reshape(-1, 3, 3), basis[b:]], 0)
+        feats = model.apply(variables, x_all, train=False, lrf=lrf_all)
+        f_src_h = feats[:4 * b].reshape(b, 4, n, -1)
+        f_dst = feats[4 * b:]
+
+        def one(s, d, fs_h, fd, k):
+            i1, i2, m, _ = consensus_match(s, d, fs_h, fd,
+                                           tau=2.0 * noise_bound)
+            est, _ = register_pair_from_matches(
+                s, d, i1, i2, m, key=k, method=method,
+                noise_bound=noise_bound, inlier_threshold=inlier_threshold,
                 num_hypotheses=num_hypotheses)
             return est
 
-        return jax.vmap(one)(src, dst, f_src, f_dst, keys)
+        return jax.vmap(one)(src, dst, f_src_h, f_dst, keys)
 
     meter = MeterRegistration()
     key = jax.random.PRNGKey(config.seed)

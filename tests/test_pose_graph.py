@@ -142,3 +142,55 @@ def test_bundle_adjust_sharded_matches_single(rng):
     p2, l2 = bundle_adjust_sharded(*args, mesh, num_iterations=5)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-3)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-3)
+
+
+def test_bundle_adjust_outliers_bounded_influence(rng):
+    """Half the observations point at WRONG physical points (the failure
+    mode of low-inlier correspondence sets): Huber IRLS + the cost guard
+    must keep BA from dragging near-correct poses away, while the same
+    problem without robustness degrades them."""
+    gt_poses, gt_lms, obs_pose, obs_local = _make_ba_problem(
+        rng, num_landmarks=96, noise=0.005)
+    bad = rng.rand(*obs_pose.shape) < 0.5
+    obs_local = np.where(bad[..., None],
+                         obs_local + rng.randn(*obs_local.shape) * 0.5,
+                         obs_local).astype(np.float32)
+    args = (jnp.asarray(gt_poses), jnp.asarray(gt_lms),
+            jnp.asarray(obs_pose), jnp.asarray(obs_local))
+    p_rob, _ = bundle_adjust(*args, num_iterations=10, huber_delta=0.05)
+    p_naive, _ = bundle_adjust(*args, num_iterations=10, huber_delta=None)
+    ate_rob = float(trajectory_ate(jnp.asarray(gt_poses), p_rob))
+    ate_naive = float(trajectory_ate(jnp.asarray(gt_poses), p_naive))
+    # δ=0.05 Huber still admits linear influence from the corrupted half,
+    # so a small drift remains — but bounded (vs ~0.12 naive on this seed).
+    assert ate_rob < 0.03, (ate_rob, ate_naive)
+    assert ate_rob <= ate_naive + 1e-6, (ate_rob, ate_naive)
+
+
+def test_build_landmarks_gates(rng):
+    """max_residual drops far-off matches; min_edge_inliers drops whole
+    low-confidence edges."""
+    from rift_tpu.registration.sequence import build_landmarks
+
+    n = 32
+    scans = rng.randn(2, n, 3).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    i_idx = np.array([0], np.int32)
+    j_idx = np.array([1], np.int32)
+    corr_idx2 = np.arange(n, dtype=np.int32)[None]
+    corr_w = np.ones((1, n), np.float32)
+    meas = np.eye(4, dtype=np.float32)[None]
+    # identical scans -> residuals 0 except 8 poisoned columns
+    scans[1] = scans[0]
+    scans[1, :8] += 1.0
+    _, obs_pose, _ = build_landmarks(scans, poses, i_idx, j_idx, corr_idx2,
+                                     corr_w, meas, per_edge=n,
+                                     max_residual=0.5)
+    assert (obs_pose >= 0).all(axis=-1).sum() == n - 8
+    # low inlier fraction -> whole edge gated
+    corr_w_low = np.zeros((1, n), np.float32)
+    corr_w_low[0, :2] = 1.0  # 6% inliers
+    _, obs_pose2, _ = build_landmarks(scans, poses, i_idx, j_idx, corr_idx2,
+                                      corr_w_low, meas, per_edge=n,
+                                      min_edge_inliers=0.10)
+    assert (obs_pose2 < 0).all()

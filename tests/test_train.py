@@ -140,6 +140,10 @@ def test_batched_eval_matches_per_pair(tmp_path):
     cfg.evaluate.num_points = 64
     cfg.evaluate.method = "teaserpp"
     cfg.evaluate.batch_pairs = 2  # forces a padded tail batch
+    # single-hypothesis matching: this test checks BATCHED-DISPATCH
+    # equivalence against the per-pair loop below, which matches without
+    # the flip consensus
+    cfg.evaluate.flip_hypotheses = False
 
     model = build_model(cfg)
     dummy = jnp.zeros((1, 64, 6), jnp.float32)

@@ -52,6 +52,12 @@ class ModelNet40Config:
     synthetic_items: dict = field(
         default_factory=lambda: {"train": 512, "valid": 128, "test": 128}
     )
+    # --- degradation knobs (the hard eval tier raises these so the
+    # synthetic benchmark stops saturating at 1.0 and can rank variants;
+    # all default to the training distribution) ---
+    instance_jitter: float = 0.12  # per-item shape-spec perturbation
+    noise_sigma: float = 0.0       # additive Gaussian on xyz, clipped at 3σ
+    occlusion: float = 0.0         # fraction removed behind a random halfspace
 
 
 def _fps_order(points: np.ndarray, num_samples: int) -> np.ndarray:
@@ -89,6 +95,7 @@ class ModelNet40:
             self._clouds, self._labels = synthetic.make_dataset(
                 n_items, max(config.num_points, 2048), seed=seed,
                 with_normals=True,
+                instance_jitter=config.instance_jitter,
             )
             self._synthetic = True
 
@@ -163,8 +170,30 @@ class ModelNet40:
             rs = np.random.RandomState(
                 (int(seed or 0) * 1_000_003 + index * 97 + 13) % (2**31 - 1))
         pcd, label = self._load_raw(index)
-        idx = self._sample_indices(index, pcd.shape[0], rs)
+        if cfg.occlusion > 0.0:
+            # Remove the fraction of the FULL-resolution cloud farthest
+            # along a random direction (a half-space cut — the cheap analog
+            # of the reference's z-buffer self-occlusion crop,
+            # deepgmr_partial.py:139-167), then sample num_points from the
+            # remainder so the model always sees its compiled shape.
+            full = np.asarray(pcd, np.float32)
+            u = rs.randn(3)
+            u /= np.linalg.norm(u) + 1e-9
+            depth = full[:, :3] @ u
+            keep = depth <= np.quantile(depth, 1.0 - cfg.occlusion)
+            pcd = full[keep]
+            # cached FPS orders index the uncut cloud — invalid here
+            idx = randchoice(rs, pcd.shape[0], cfg.num_points)
+        else:
+            idx = self._sample_indices(index, pcd.shape[0], rs)
         pcd = np.asarray(pcd[idx], np.float32)
+        if cfg.noise_sigma > 0.0:
+            # Clipped Gaussian jitter on xyz (ref: deepgmr_partial.py:92-106
+            # clips at 0.05); normals left stale, as a real sensor's would be.
+            noise = rs.randn(*pcd[:, :3].shape) * cfg.noise_sigma
+            pcd = pcd.copy()
+            pcd[:, :3] += np.clip(noise, -3 * cfg.noise_sigma,
+                                  3 * cfg.noise_sigma)
         pts = pcd[:, :3] - pcd[:, :3].mean(0, keepdims=True)
         normals = pcd[:, 3:6] if (cfg.with_normals and pcd.shape[1] >= 6) else None
         if cfg.random_rot.get(self.split, False):

@@ -169,13 +169,19 @@ def make_cloud(label: int, num_points: int, seed: int,
 
 
 def make_dataset(num_items: int, num_points: int, seed: int = 0,
-                 with_normals: bool = True) -> tuple[np.ndarray, np.ndarray]:
-    """(clouds [m, n, 3|6], labels [m]) deterministic synthetic dataset."""
+                 with_normals: bool = True, instance_jitter: float = 0.12
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """(clouds [m, n, 3|6], labels [m]) deterministic synthetic dataset.
+
+    `instance_jitter` scales the per-item spec perturbation (see
+    `make_cloud`); the hard eval tier raises it toward the inter-class
+    parameter spread so class distributions genuinely overlap."""
     rs = np.random.RandomState(seed)
     labels = rs.randint(0, NUM_CLASSES, num_items)
     clouds = np.stack([
         make_cloud(int(lbl), num_points, seed=seed * 100003 + i,
-                   with_normals=with_normals)
+                   with_normals=with_normals,
+                   instance_jitter=instance_jitter)
         for i, lbl in enumerate(labels)
     ])
     return clouds, labels.astype(np.int32)

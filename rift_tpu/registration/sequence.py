@@ -87,7 +87,8 @@ def register_edges(scans: Array, features: Array, i_idx: np.ndarray,
                    noise_bound: float = 0.02,
                    inlier_threshold: float = 0.08,
                    num_hypotheses: int = 512,
-                   batch_edges: int = 16, seed: int = 0
+                   batch_edges: int = 16, seed: int = 0,
+                   flip_features: Array | None = None
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Pairwise registration of every edge, batched on device.
 
@@ -95,26 +96,37 @@ def register_edges(scans: Array, features: Array, i_idx: np.ndarray,
       (measurements [E, 4, 4] M_ij, corr_idx2 [E, n] int32 (mutual NN of
       each src point in dst), corr_w [E, n] confidence weights,
       edge_weights [E] inlier fractions).
+
+    `method` accepts the composite '+icp'/'+picp' suffixes
+    (registration/pipeline.py): the robust correspondence-level estimate is
+    polished with dense geometric ICP per edge — the same recipe the pair
+    evaluation path uses, so odometry edges get the same accuracy.
+    `flip_features` [T, 4, n, c] enables flip-hypothesis consensus matching
+    per edge (registration/consensus.py): the source scan's features under
+    the 4 right-handed LRF sign assignments, scored by rigidity.
     """
-    kind = {"teaserpp": "tls", "fgr": "gm"}.get(method)
+    from .consensus import consensus_match
+    from .pipeline import register_pair_from_matches
 
     @jax.jit
-    def run_batch(src, dst, fs, fd, keys):
-        def one(s, d, f1, f2, k):
-            _, idx2, mask = mutual_nearest_neighbors(f1, f2)
-            matched = d[idx2]
-            if kind is not None:
-                nb = noise_bound if kind == "tls" else 2 * noise_bound
-                t, w = gnc_pose(s, matched, mask, noise_bound=nb, kind=kind)
-            elif method == "ransac":
-                t, inl = ransac_pose(k, s, matched, mask,
-                                     num_hypotheses=num_hypotheses,
-                                     inlier_threshold=inlier_threshold)
-                w = inl.astype(s.dtype) * mask
+    def run_batch(src, dst, fs, fd, keys, fs_h=None):
+        def one(s, d, f1, f2, k, f1_h=None):
+            if f1_h is not None:
+                _, idx2, mask, _ = consensus_match(
+                    s, d, f1_h, f2, tau=2.0 * noise_bound)
             else:
-                raise ValueError(f"unknown method {method!r}")
+                _, idx2, mask = mutual_nearest_neighbors(f1, f2)
+            t, inl = register_pair_from_matches(
+                s, d, jnp.arange(s.shape[0], dtype=jnp.int32), idx2, mask,
+                key=k, method=method, noise_bound=noise_bound,
+                inlier_threshold=inlier_threshold,
+                num_hypotheses=num_hypotheses)
+            w = inl.astype(s.dtype) * mask.astype(s.dtype)
             return t, idx2, w
 
+        if fs_h is not None:
+            return jax.vmap(lambda s, d, f1, f2, k, fh: one(s, d, f1, f2, k, fh)
+                            )(src, dst, fs, fd, keys, fs_h)
         return jax.vmap(one)(src, dst, fs, fd, keys)
 
     e = len(i_idx)
@@ -131,8 +143,10 @@ def register_edges(scans: Array, features: Array, i_idx: np.ndarray,
                                                    np.int32)])
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, batch_edges)
+        fs_h = (flip_features[sel_i] if flip_features is not None else None)
         t, idx2, w = run_batch(scans[sel_i], scans[sel_j],
-                               features[sel_i], features[sel_j], keys)
+                               features[sel_i], features[sel_j], keys,
+                               fs_h=fs_h)
         meas.append(np.asarray(t[:n_real]))
         idx2s.append(np.asarray(idx2[:n_real]))
         ws.append(np.asarray(w[:n_real]))
@@ -215,7 +229,8 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
                  loop_stride: int = 6, landmarks_per_edge: int = 64,
                  gn_iterations: int = 10, ba_iterations: int = 8,
                  mesh=None, batch_edges: int = 16, seed: int = 0,
-                 min_edge_inliers: float = 0.05
+                 min_edge_inliers: float = 0.05,
+                 flip_features: np.ndarray | None = None
                  ) -> SequenceResult:
     """Full sequence pipeline; pass `mesh` to run the pose-graph and BA
     solves sharded over its 'data' axis (edges / landmarks distributed,
@@ -233,7 +248,9 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
         jnp.asarray(scans), jnp.asarray(features), i_idx, j_idx,
         method=method, noise_bound=noise_bound,
         inlier_threshold=inlier_threshold, num_hypotheses=num_hypotheses,
-        batch_edges=batch_edges, seed=seed)
+        batch_edges=batch_edges, seed=seed,
+        flip_features=(jnp.asarray(flip_features)
+                       if flip_features is not None else None))
 
     odom = odometry_from_measurements(num_scans, i_idx, j_idx, measurements)
 

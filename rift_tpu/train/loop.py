@@ -389,6 +389,7 @@ def evaluate_registration(config: ExperimentConfig, state=None,
     meter = MeterRegistration()
     key = jax.random.PRNGKey(config.seed)
     batch_pairs = max(min(int(config.evaluate.batch_pairs), len(pairs)), 1)
+    warmed = False
     for batch in pairs.batches(batch_size=batch_pairs):
         n_real = batch.source.shape[0]
         src = jnp.asarray(batch.source)    # [b, n, 3]
@@ -400,6 +401,13 @@ def evaluate_registration(config: ExperimentConfig, state=None,
             dst = jnp.concatenate([dst, jnp.repeat(dst[:1], pad, 0)], 0)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, src.shape[0])
+        if not warmed:
+            # Compile outside the timer: reg_time is the solver-time analog
+            # of the reference's per-pair wall clock
+            # (deepgmr_mn40.py:148-151), and every batch shares one padded
+            # shape, so one untimed dispatch covers all compilations.
+            jax.block_until_ready(register_batch(variables, src, dst, keys))
+            warmed = True
         t0 = time.time()
         est = jax.block_until_ready(register_batch(variables, src, dst, keys))
         reg_time = time.time() - t0
@@ -436,6 +444,41 @@ def extract_features(state, model, clouds: np.ndarray, batch_size: int = 32
     return np.concatenate(outs, 0)
 
 
+def extract_features_flips(state, model, clouds: np.ndarray,
+                           batch_size: int = 16) -> np.ndarray:
+    """Per-point features of every cloud under the 4 right-handed LRF sign
+    assignments: [m, 4, n, c]. Slot 0 is the primary frame (identity flip),
+    so `out[:, 0]` is exactly what `extract_features` returns — the sequence
+    pipeline matches source scans under all 4 against target scans under
+    slot 0 (flip-hypothesis consensus, registration/consensus.py)."""
+    from ..ops.lrf import lrf_basis, lrf_flip_hypotheses
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def fwd(variables, x):
+        b, n = x.shape[:2]
+        x = jnp.concatenate([x, estimate_normals(x)], -1)
+        centered = x[..., :3] - jnp.mean(x[..., :3], axis=-2, keepdims=True)
+        hyp = lrf_flip_hypotheses(lrf_basis(centered, model.lrf_kind))
+        x4 = jnp.repeat(x, 4, axis=0)                     # [4b, n, 6]
+        lrf4 = hyp.reshape(-1, 3, 3)                      # [4b, 3, 3]
+        feats = model.apply(variables, x4, train=False, lrf=lrf4)
+        return feats.reshape(b, 4, n, -1)
+
+    m = clouds.shape[0]
+    b = min(batch_size, m)
+    outs = []
+    for start in range(0, m, b):
+        chunk = np.asarray(clouds[start:start + b])
+        n_real = chunk.shape[0]
+        if n_real < b:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[:1], b - n_real, 0)], 0)
+        outs.append(np.asarray(fwd(variables, jnp.asarray(chunk)))[:n_real])
+    return np.concatenate(outs, 0)
+
+
 def run_map_sequence(config: ExperimentConfig, ckpt_dir: str | None = None,
                      ckpt_name: str | None = None, loop_stride: int = 6,
                      landmarks_per_edge: int = 64,
@@ -450,7 +493,14 @@ def run_map_sequence(config: ExperimentConfig, ckpt_dir: str | None = None,
     seq = get_sequence(config.sequence)
     state, model = resolve_extractor(config, None, None, ckpt_dir, ckpt_name,
                                      log)
-    feats = extract_features(state, model, seq.scans)
+    use_flips = (config.evaluate.flip_hypotheses
+                 and model.rot_invariant_preprocess == "change_coords")
+    flip_feats = None
+    if use_flips:
+        flip_feats = extract_features_flips(state, model, seq.scans)
+        feats = flip_feats[:, 0]
+    else:
+        feats = extract_features(state, model, seq.scans)
     mesh = None
     if use_mesh:
         from ..parallel.mesh import make_mesh
@@ -463,7 +513,7 @@ def run_map_sequence(config: ExperimentConfig, ckpt_dir: str | None = None,
         num_hypotheses=config.evaluate.num_hypotheses,
         inlier_threshold=config.evaluate.inlier_threshold,
         loop_stride=loop_stride, landmarks_per_edge=landmarks_per_edge,
-        mesh=mesh, seed=config.seed)
+        mesh=mesh, seed=config.seed, flip_features=flip_feats)
     log.info("map-sequence [%d scans, %d edges]: %s", len(seq),
              len(result.edges[0]), result.metrics)
     return result.metrics
@@ -516,13 +566,32 @@ def rotation_consistency(state, model, dataset, config, num_items: int = 64,
     return {"rot_agree": agree, "logit_drift": drift}
 
 
+def hard_tier_dataset(dataset_cfg):
+    """The discriminative eval tier: degraded copy of a dataset config.
+
+    The standard synthetic test split saturates (flagship scores 1.0), so
+    it cannot rank the cu/sph x pt/dg variants the way the reference's
+    README table does (README.md:31-34). This tier raises within-class
+    shape jitter toward the inter-class spread, halves the point budget,
+    adds clipped sensor noise, and crops a quarter of the surface behind a
+    random half-space — calibrated so the trained flagship lands in the
+    ~0.85-0.95 band where variant and ablation differences are visible.
+    """
+    import dataclasses as _dc
+
+    return _dc.replace(
+        dataset_cfg, num_points=min(dataset_cfg.num_points, 512),
+        instance_jitter=0.30, noise_sigma=0.02, occlusion=0.25)
+
+
 def evaluate_classification_ckpt(config: ExperimentConfig,
                                  ckpt_dir: str | None = None,
                                  ckpt_name: str | None = None,
                                  rotations: int = 4,
-                                 state=None) -> dict:
+                                 state=None, hard_tier: bool = True) -> dict:
     """Test-split accuracy (+ rotation consistency) of a trained classifier
-    checkpoint. Ref: train.py `--evaluate` with the default `test` fn
+    checkpoint, on the standard tier and (default) the hard tier.
+    Ref: train.py `--evaluate` with the default `test` fn
     (`train.py:204-225`) under the SO(3)/SO(3) protocol."""
     import dataclasses as _dc
 
@@ -548,6 +617,12 @@ def evaluate_classification_ckpt(config: ExperimentConfig,
     eval_step = make_eval_step(model)
     acc = evaluate_classification(state, eval_step, datasets["test"], config)
     results = {"acc": acc}
+    if hard_tier:
+        from ..data.modelnet40 import ModelNet40
+
+        hard_test = ModelNet40(hard_tier_dataset(config.dataset), "test")
+        results["acc_hard"] = evaluate_classification(
+            state, eval_step, hard_test, config)
     if rotations > 0:
         results.update(rotation_consistency(
             state, model, datasets["test"], config,

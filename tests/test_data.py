@@ -186,3 +186,52 @@ def test_grid_subsample_cpp():
     np.testing.assert_allclose(f[j], feats[mask].mean(0), atol=1e-5)
     vals, counts = np.unique(labels[mask], return_counts=True)
     assert l[j] in vals[counts == counts.max()]
+
+
+def test_hard_tier_degradations():
+    """The hard eval tier's knobs (VERDICT r2 #6): occlusion removes the
+    far side of a half-space, noise perturbs within 3 sigma, instance
+    jitter changes the generated geometry — all deterministic in seed."""
+    items = {"train": 4, "valid": 4, "test": 8}
+    base = ModelNet40Config(num_points=64, synthetic_items=items,
+                            random_rot={"test": False})
+    hard = ModelNet40Config(num_points=64, synthetic_items=items,
+                            random_rot={"test": False},
+                            instance_jitter=0.30, noise_sigma=0.02,
+                            occlusion=0.25)
+    ds_base = ModelNet40(base, "test")
+    ds_hard = ModelNet40(hard, "test")
+    c0, l0 = ds_base.get(0, seed=5)
+    c1, l1 = ds_hard.get(0, seed=5)
+    assert l0 == l1
+    assert c1.shape == (64, 6)
+    assert np.isfinite(c1).all()
+    # jitter changed the underlying geometry
+    assert not np.allclose(c0[:, :3], c1[:, :3])
+    # deterministic in seed
+    c1b, _ = ds_hard.get(0, seed=5)
+    np.testing.assert_array_equal(c1, c1b)
+    c1c, _ = ds_hard.get(0, seed=6)
+    assert not np.array_equal(c1, c1c)
+
+
+def test_hard_tier_occlusion_is_half_space():
+    """With only occlusion on, every surviving point must lie on the kept
+    side: the removed quantile is the far side of some direction, so the
+    kept cloud's support along that direction shrinks."""
+    items = {"train": 4, "valid": 4, "test": 8}
+    base = ModelNet40Config(num_points=512, synthetic_items=items,
+                            random_rot={"test": False})
+    occ = ModelNet40Config(num_points=512, synthetic_items=items,
+                           random_rot={"test": False}, occlusion=0.4)
+    full, _ = ModelNet40(base, "test").get(2, seed=9)
+    cut, _ = ModelNet40(occ, "test").get(2, seed=9)
+    # the cut cloud spans strictly less of the full cloud's set of points:
+    # its convex support along the (unknown) cut direction is reduced, so
+    # max pairwise extent should not exceed the full cloud's and typically
+    # shrinks along one axis. Weak but deterministic check: the cut cloud's
+    # points are a subset of the full-resolution surface region (here: all
+    # within the unit ball like the source cloud).
+    assert np.linalg.norm(cut[:, :3], axis=1).max() <= 1.5
+    # and the distribution genuinely changed
+    assert abs(cut[:, :3].mean() - full[:, :3].mean()) > 0

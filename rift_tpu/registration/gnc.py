@@ -33,7 +33,7 @@ def _residuals(transform: Array, src: Array, dst: Array) -> Array:
     return jnp.linalg.norm(moved - dst, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "kind"))
+@partial(jax.jit, static_argnames=("max_iterations", "kind", "early_exit"))
 def gnc_pose(
     src: Array,
     dst: Array,
@@ -42,11 +42,18 @@ def gnc_pose(
     gnc_factor: float = 1.4,
     max_iterations: int = 100,
     kind: str = "tls",
+    early_exit: bool = True,
 ) -> tuple[Array, Array]:
     """GNC robust SE(3) estimation over putative correspondences.
 
     src/dst [n, 3], valid [n] bool. kind: 'tls' (TEASER GNC-TLS weights) or
     'gm' (Geman-McClure, FGR-style). Returns (transform [4,4], weights [n]).
+
+    `early_exit` selects the fixed-point `lax.while_loop` for 'tls' (exits
+    when the weight vector repeats); False forces the fixed-length
+    `lax.scan` — same result, different schedule. Kept togglable because
+    under vmap the while-loop runs to the slowest pair and the two compile
+    to different TPU dispatch patterns (bench bisect, VERDICT r2 #4).
     """
     c2 = noise_bound * noise_bound
     w0 = valid.astype(src.dtype)
@@ -78,7 +85,7 @@ def gnc_pose(
             raise ValueError(f"unknown GNC kind {kind!r}")
         return w * valid
 
-    if kind == "tls":
+    if kind == "tls" and early_exit:
         # TLS converges to a FIXED POINT long before max_iterations (the
         # reference always burns all 100 Kabsch solves per pair,
         # `deepgmr_mn40.py:207-216`): once the weight vector repeats between
@@ -111,10 +118,14 @@ def gnc_pose(
         transform, mu = carry
         w = weights(transform, mu)
         new_t = weighted_kabsch(src, dst, w)
-        new_mu = jnp.maximum(mu / gnc_factor, 1.0)
+        if kind == "tls":
+            new_mu = mu * gnc_factor       # TLS: μ grows, band tightens
+        else:
+            new_mu = jnp.maximum(mu / gnc_factor, 1.0)  # GM: scale anneals
         return (new_t, new_mu), w
 
-    (transform, _), ws = jax.lax.scan(step, (t0, jnp.asarray(64.0, src.dtype)),
+    init_mu = mu0 if kind == "tls" else jnp.asarray(64.0, src.dtype)
+    (transform, _), ws = jax.lax.scan(step, (t0, init_mu),
                                       None, length=max_iterations)
     return transform, ws[-1]
 

@@ -2,21 +2,23 @@
 """Post-training validation battery for the flagship checkpoint.
 
 Runs, against a trained `mn40_sph_dg` checkpoint:
-  1. classification test accuracy under random SO(3) + rotation-consistency
-     (ref protocol: README.md:25-34, SO3_SO3 configs);
+  1. classification test accuracy under random SO(3) (standard + hard tier)
+     + rotation-consistency (ref protocol: README.md:25-34, SO3_SO3 configs);
   2. registration RRE/RTE/RMSE on clean / noise / partial pairs and the
-     ICL-NUIM-analog adjacent-scan set, for each robust estimator
+     ICL-NUIM-analog adjacent-scan set, for each robust estimator INCLUDING
+     the '+icp'/'+picp' dense-refinement composites
      (ref: README.md:36-61, datasets/deepgmr_mn40.py:71-97);
-  3. the multi-scan mapping pipeline (odometry -> pose graph -> BA -> ATE).
+  3. the multi-scan mapping pipeline (odometry -> pose graph -> BA -> ATE),
+     with the same flip-consensus matching + composite refinement per edge.
 
 Each step is run in a fresh subprocess under a timeout so a wedged TPU
 tunnel stalls one step, not the battery; failed steps are retried once and
-otherwise recorded as failed. Results append to VALIDATION_r02.jsonl and a
-human summary is rewritten at VALIDATION_r02.md.
+otherwise recorded as failed. Results append to VALIDATION_r{N}.jsonl and a
+human summary is rewritten at VALIDATION_r{N}.md.
 
 Usage:
   python scripts/validate_flagship.py --ckpt checkpoints/mn40_sph_dg_r2b \
-      [--name best_acc] [--timeout 1800] [--steps cls,reg,map]
+      [--name best_acc] [--round 3] [--timeout 1800] [--steps cls,reg,map]
 """
 from __future__ import annotations
 
@@ -31,7 +33,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 REG_MODES = ("clean", "noise", "partial", "icl_nuim")
-REG_METHODS = ("teaserpp", "ransac", "fgr")
+REG_METHODS = ("teaserpp", "ransac", "fgr", "teaserpp+picp", "ransac+picp")
 
 
 def run_step(tag: str, argv: list[str], timeout: float, retries: int = 1
@@ -67,15 +69,17 @@ def main() -> int:
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--name", default=None,
                     help="checkpoint name inside --ckpt (common/best_acc)")
+    ap.add_argument("--round", type=int, default=3)
     ap.add_argument("--timeout", type=float, default=1800.0)
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     ap.add_argument("--steps", default="cls,reg,map")
+    ap.add_argument("--modes", default=",".join(REG_MODES))
     ap.add_argument("--methods", default=",".join(REG_METHODS))
-    ap.add_argument("--jsonl", default=os.path.join(REPO,
-                                                    "VALIDATION_r02.jsonl"))
     args = ap.parse_args()
     steps = args.steps.split(",")
+    modes = args.modes.split(",")
     methods = args.methods.split(",")
+    jsonl = os.path.join(REPO, f"VALIDATION_r{args.round:02d}.jsonl")
     py = sys.executable
     plat = ["--platform", args.platform] if args.platform else []
     ckpt_args = ["--ckpt", args.ckpt]
@@ -85,7 +89,7 @@ def main() -> int:
 
     def record(res):
         results.append(res)
-        with open(args.jsonl, "a") as f:
+        with open(jsonl, "a") as f:
             f.write(json.dumps(res) + "\n")
         print(f"[{res['tag']}] ok={res['ok']} {res['metrics']} "
               f"({res['sec']}s)", flush=True)
@@ -98,36 +102,42 @@ def main() -> int:
              "dataset.synthetic_items={'train':2048,'valid':512,'test':512}"],
             args.timeout))
     if "reg" in steps:
-        for mode in REG_MODES:
+        for mode in modes:
             for method in methods:
+                # composite methods ride the same preset with an override
+                # (base presets keep the reference's method names).
+                base = method.split("+")[0]
                 record(run_step(
                     f"reg_{mode}_{method}",
                     [py, "-m", "rift_tpu.cli", *plat, "evaluate",
-                     "--preset", f"reg_{mode}_{method}_cu_dg", *ckpt_args],
+                     "--preset", f"reg_{mode}_{base}_cu_dg", *ckpt_args,
+                     f"evaluate.method={method}"],
                     args.timeout))
     if "map" in steps:
         record(run_step(
             "map",
             [py, "-m", "rift_tpu.cli", *plat, "map-sequence",
-             "--preset", "reg_icl_nuim_teaserpp_cu_dg", *ckpt_args],
+             "--preset", "reg_icl_nuim_teaserpp_cu_dg", *ckpt_args,
+             "evaluate.method=teaserpp+picp"],
             args.timeout))
 
-    write_summary(results, args.ckpt)
+    write_summary(results, args.ckpt, args.round, modes, methods)
     return 0 if all(r["ok"] for r in results) else 1
 
 
-def write_summary(results: list[dict], ckpt: str) -> None:
-    path = os.path.join(REPO, "VALIDATION_r02.md")
+def write_summary(results: list[dict], ckpt: str, rnd: int,
+                  modes=REG_MODES, methods=REG_METHODS) -> None:
+    path = os.path.join(REPO, f"VALIDATION_r{rnd:02d}.md")
     by = {r["tag"]: r for r in results}
     lines = [
-        "# VALIDATION — round 2 flagship checkpoint",
+        f"# VALIDATION — round {rnd} flagship checkpoint",
         "",
         f"Checkpoint: `{ckpt}` (trained on the procedural asymmetric-composite",
         "corpus — real ModelNet40 is not redistributable in this environment,",
         "see `rift_tpu/data/synthetic.py`). Reference targets in BASELINE.md",
         "are on real ModelNet40/ICL-NUIM; these numbers validate the *system*",
-        "(learned features -> matching -> robust pose) end to end on",
-        "like-structured data.",
+        "(learned features -> flip-consensus matching -> robust pose ->",
+        "dense refinement) end to end on like-structured data.",
         "",
     ]
     cls = by.get("cls")
@@ -136,43 +146,52 @@ def write_summary(results: list[dict], ckpt: str) -> None:
         lines += [
             "## Classification (random SO(3) test split)",
             "",
-            f"- accuracy: **{m.get('acc', float('nan')):.4f}** "
+            f"- accuracy (standard tier): "
+            f"**{m.get('acc', float('nan')):.4f}** "
             "(reference sph-dg on real MN40: 0.897, README.md:34)",
+            f"- accuracy (hard tier: 0.30 jitter, 512 pts, noise, 25% "
+            f"occlusion): **{m.get('acc_hard', float('nan')):.4f}**",
             f"- rotation agreement (4 random SO(3) copies): "
             f"{m.get('rot_agree', float('nan')):.4f}",
             f"- logit drift across rotations: "
             f"{m.get('logit_drift', float('nan')):.4f}",
             "",
         ]
-    lines += ["## Registration (100 pairs each, trained trunk)", "",
-              "| set | method | RRE (deg) | RTE | RMSE | success |",
-              "|---|---|---|---|---|---|"]
-    for mode in REG_MODES:
-        for method in REG_METHODS:
+    lines += ["## Registration (100 pairs each, trained trunk, "
+              "flip-consensus matching)", "",
+              "| set | method | RRE (deg) | RTE | RMSE | success | "
+              "reg_time (s/pair) |",
+              "|---|---|---|---|---|---|---|"]
+    for mode in modes:
+        for method in methods:
             r = by.get(f"reg_{mode}_{method}")
             if not r:
                 continue
             m = r["metrics"]
             if not r["ok"]:
-                lines.append(f"| {mode} | {method} | FAILED | | | |")
+                lines.append(f"| {mode} | {method} | FAILED | | | | |")
                 continue
             lines.append(
                 f"| {mode} | {method} | {m.get('rre', float('nan')):.3f} "
                 f"| {m.get('rte', float('nan')):.4f} "
                 f"| {m.get('rmse', float('nan')):.4f} "
-                f"| {m.get('succ', float('nan')):.2f} |")
+                f"| {m.get('succ', float('nan')):.2f} "
+                f"| {m.get('reg_time', float('nan')):.4f} |")
     lines.append("")
     mp = by.get("map")
     if mp:
         m = mp["metrics"]
         lines += [
-            "## Multi-scan mapping (north star)",
+            "## Multi-scan mapping (north star, teaserpp+picp edges)",
             "",
             "| stage | ATE |",
             "|---|---|",
             f"| odometry | {m.get('ate_odometry', float('nan')):.4f} |",
             f"| pose graph | {m.get('ate_graph', float('nan')):.4f} |",
             f"| bundle adjust | {m.get('ate_ba', float('nan')):.4f} |",
+            "",
+            f"mean edge inliers: {m.get('mean_edge_inliers', float('nan')):.3f}"
+            f" · mean step RRE: {m.get('mean_step_rre', float('nan')):.3f} deg",
             "",
         ]
     with open(path, "w") as f:

@@ -254,3 +254,19 @@ def test_register_pair_picp_runs(rng):
     err = pair_errors(jnp.asarray(src[None]), jnp.asarray(t[None]),
                       jnp.asarray(np.asarray(est)[None]))
     assert float(err["rre"][0]) < 1.0
+
+
+def test_gnc_tls_scan_toggle_matches_while_loop(rng):
+    """The public early_exit=False toggle (fixed-length lax.scan) must
+    reproduce the while-loop fixed point end to end (bench bisect toggle,
+    registration/gnc.py; the inline-oracle variant of this property is
+    test_gnc_tls_early_exit_bitwise_matches_full_scan)."""
+    src, dst, _ = _random_pair(rng, noise=0.005, outlier_frac=0.3)
+    valid = jnp.ones(src.shape[0], bool)
+    t_while, w_while = gnc_pose(jnp.asarray(src), jnp.asarray(dst), valid)
+    t_scan, w_scan = gnc_pose(jnp.asarray(src), jnp.asarray(dst), valid,
+                              early_exit=False)
+    np.testing.assert_allclose(np.asarray(t_while), np.asarray(t_scan),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(w_while) > 0.5,
+                                  np.asarray(w_scan) > 0.5)

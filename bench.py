@@ -85,7 +85,11 @@ def main() -> None:
 
         def one(s, d, fs, fd):
             i1, i2, mask = mutual_nearest_neighbors(fs, fd)
-            t, _ = gnc_pose(s[i1], d[i2], mask, noise_bound=0.02)
+            # BENCH_GNC_EARLY_EXIT=0 forces the fixed-length scan schedule
+            # (regression bisect; see registration/gnc.py early_exit).
+            t, _ = gnc_pose(s[i1], d[i2], mask, noise_bound=0.02,
+                            early_exit=os.environ.get(
+                                "BENCH_GNC_EARLY_EXIT", "1") != "0")
             return t
 
         return jax.vmap(one)(src, dst, f_src, f_dst)

@@ -41,6 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     p_eval.add_argument("--untrained", action="store_true",
                         help="allow evaluating an untrained model "
                              "(smoke runs only)")
+    p_eval.add_argument("--methods", default=None,
+                        help="comma list -> sweep all methods over ONE "
+                             "matching pass (one big compile per mode "
+                             "instead of per method); prints "
+                             "{method}_{metric} lines")
     p_eval.add_argument("overrides", nargs="*")
 
     p_ecls = sub.add_parser(
@@ -103,6 +108,17 @@ def main(argv: list[str] | None = None) -> int:
                 parser.error(
                     f"no checkpoint at {probe!r}; pass --ckpt DIR / --best "
                     f"METRIC, or --untrained to score random weights")
+        if args.methods:
+            from .train.loop import evaluate_registration_sweep
+
+            sweep = evaluate_registration_sweep(
+                config, args.methods.split(","), ckpt_dir=ckpt_dir,
+                ckpt_name=ckpt_name)
+            for method, results in sweep.items():
+                slug = method.replace("+", "_")
+                for key, value in results.items():
+                    print(f"{slug}_{key}: {value:.6f}")
+            return 0
         results = evaluate_registration(config, ckpt_dir=ckpt_dir,
                                          ckpt_name=ckpt_name)
         for key, value in results.items():

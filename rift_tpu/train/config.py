@@ -48,7 +48,6 @@ class ModelConfig:
     use_new_coords_for_voxel: bool = False
     local_neighbors: int = 128
     dtype: str | None = None       # 'bfloat16' -> conv/MLP stacks on the MXU at bf16
-    fused_local_ppf: str = "auto"  # 'auto' | 'always' | 'never' (Pallas local-PPF)
 
 
 @dataclass

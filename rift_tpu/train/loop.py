@@ -20,6 +20,8 @@ from ..data.registration_pairs import get_pairs
 from ..models import PVCNNClassifier
 from ..ops.normals import estimate_normals
 from ..registration import pair_errors, register_pair
+from ..registration.pipeline import register_pair_from_matches
+from ..ops.neighbors import mutual_nearest_neighbors
 from .checkpoint import CheckpointManager
 from .config import ExperimentConfig
 from .meters import MeterClassification, MeterRegistration
@@ -48,7 +50,6 @@ def build_model(config: ExperimentConfig) -> PVCNNClassifier:
         use_new_coords_for_voxel=m.use_new_coords_for_voxel,
         local_neighbors=m.local_neighbors,
         dtype=m.dtype,
-        fused_local_ppf=m.fused_local_ppf,
     )
 
 
@@ -418,6 +419,125 @@ def evaluate_registration(config: ExperimentConfig, state=None,
     log.info("registration eval [%s/%s]: %s", config.evaluate.pairs_mode,
              method, results)
     return results
+
+
+def evaluate_registration_sweep(config: ExperimentConfig,
+                                methods: list[str], state=None, model=None,
+                                ckpt_dir: str | None = None,
+                                ckpt_name: str | None = None
+                                ) -> dict[str, dict]:
+    """Evaluate MULTIPLE robust estimators over one shared matching pass.
+
+    The feature forward (+ flip-hypothesis consensus matching) is
+    method-independent and dominates both runtime and — through this
+    setup's remote-compile tunnel — XLA compile time, so sweeping methods
+    inside `evaluate_registration` recompiles a ~minutes-long program per
+    method for no reason. This splits the pipeline at its natural seam:
+
+      program A (per mode): normals -> features (4 flip hypotheses) ->
+                            consensus mutual-NN matches        [big compile]
+      program B (per method): robust pose + dense refinement from the
+                            precomputed matches               [small compile]
+
+    which is also exactly the reference's structure: matching happens once
+    per pair, every estimator consumes the same correspondences
+    (deepgmr_mn40.py:165-231). Returns {method: metrics}.
+    """
+    log = get_logger(config.name)
+    pairs = get_pairs(config.evaluate.pairs_path, config.evaluate.num_points,
+                      config.evaluate.pairs_mode, config.evaluate.num_pairs)
+    state, model = resolve_extractor(config, state, model, ckpt_dir,
+                                     ckpt_name, log)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    noise_bound = config.evaluate.noise_bound
+    inlier_threshold = config.evaluate.inlier_threshold
+    num_hypotheses = config.evaluate.num_hypotheses
+    use_flips = (config.evaluate.flip_hypotheses
+                 and model.rot_invariant_preprocess == "change_coords")
+
+    @jax.jit
+    def match_batch(variables, src, dst):
+        b, n = src.shape[:2]
+        clouds = jnp.concatenate([src, dst], 0)
+        x = jnp.concatenate([clouds, estimate_normals(clouds)], -1)
+        if not use_flips:
+            feats = model.apply(variables, x, train=False)
+            return jax.vmap(mutual_nearest_neighbors)(feats[:b], feats[b:])
+        from ..ops.lrf import lrf_basis, lrf_flip_hypotheses
+        from ..registration.consensus import consensus_match
+
+        centered = clouds - jnp.mean(clouds, axis=-2, keepdims=True)
+        basis = lrf_basis(centered, model.lrf_kind)
+        basis_src_h = lrf_flip_hypotheses(basis[:b])
+        x_all = jnp.concatenate([jnp.repeat(x[:b], 4, axis=0), x[b:]], 0)
+        lrf_all = jnp.concatenate(
+            [basis_src_h.reshape(-1, 3, 3), basis[b:]], 0)
+        feats = model.apply(variables, x_all, train=False, lrf=lrf_all)
+        f_src_h = feats[:4 * b].reshape(b, 4, n, -1)
+        f_dst = feats[4 * b:]
+
+        def one(s, d, fs_h, fd):
+            i1, i2, m, _ = consensus_match(s, d, fs_h, fd,
+                                           tau=2.0 * noise_bound)
+            return i1, i2, m
+
+        return jax.vmap(one)(src, dst, f_src_h, f_dst)
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("method",))
+    def solve_batch(src, dst, i1, i2, mask, keys, method):
+        def one(s, d, a, b, m, k):
+            est, _ = register_pair_from_matches(
+                s, d, a, b, m, key=k, method=method,
+                noise_bound=noise_bound, inlier_threshold=inlier_threshold,
+                num_hypotheses=num_hypotheses)
+            return est
+
+        return jax.vmap(one)(src, dst, i1, i2, mask, keys)
+
+    meters = {m: MeterRegistration() for m in methods}
+    key = jax.random.PRNGKey(config.seed)
+    batch_pairs = max(min(int(config.evaluate.batch_pairs), len(pairs)), 1)
+    warmed = False
+    for batch in pairs.batches(batch_size=batch_pairs):
+        n_real = batch.source.shape[0]
+        src = jnp.asarray(batch.source)
+        dst = jnp.asarray(batch.target)
+        gt = jnp.asarray(batch.transform)
+        if n_real < batch_pairs:
+            pad = batch_pairs - n_real
+            src = jnp.concatenate([src, jnp.repeat(src[:1], pad, 0)], 0)
+            dst = jnp.concatenate([dst, jnp.repeat(dst[:1], pad, 0)], 0)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, src.shape[0])
+        if not warmed:  # compile outside the reg_time timer (all batches
+            # share one padded shape)
+            i1w, i2w, mw = jax.block_until_ready(
+                match_batch(variables, src, dst))
+            for m in methods:
+                jax.block_until_ready(
+                    solve_batch(src, dst, i1w, i2w, mw, keys, m))
+            warmed = True
+        t0 = time.time()
+        i1, i2, mask = jax.block_until_ready(
+            match_batch(variables, src, dst))
+        t_match = time.time() - t0
+        for m in methods:
+            t0 = time.time()
+            est = jax.block_until_ready(
+                solve_batch(src, dst, i1, i2, mask, keys, m))
+            t_solve = time.time() - t0
+            errors = pair_errors(src[:n_real], gt, est[:n_real])
+            meters[m].update(
+                jax.tree_util.tree_map(np.asarray, errors),
+                (t_match + t_solve) * n_real / src.shape[0])
+    out = {}
+    for m in methods:
+        out[m] = meters[m].compute()
+        log.info("registration sweep [%s/%s]: %s",
+                 config.evaluate.pairs_mode, m, out[m])
+    return out
 
 
 def extract_features(state, model, clouds: np.ndarray, batch_size: int = 32

@@ -5,8 +5,8 @@ Modes:
   stages    per-stage timing of the registration pipeline (normals, forward,
             matching, GNC) + forward breakdown (preprocess, local branch,
             backbone) so optimization effort lands on the real hot spot;
-  local     local-PPF branch variants head-to-head: fused Pallas kernel vs
-            unfused (top-k ball query) vs rank-select composition;
+  local     local-PPF branch variants head-to-head: unfused (top-k ball
+            query) vs rank-select composition;
   backbone  PVConv backbone sub-ops at flagship shapes (spherical voxelize /
             devoxelize, conv3d pair, dgcnn gather, normals, LRF, global PPF).
 
@@ -46,7 +46,6 @@ def _cloud(args):
 
 
 def mode_local(args):
-    from rift_tpu.ops.pallas.local_ppf_fused import local_ppf_fused
     from rift_tpu.ops.neighbors import ball_query, ball_query_group, grouping
     from rift_tpu.ops.ppf import local_ppf
 
@@ -67,11 +66,6 @@ def mode_local(args):
             .astype(jnp.float32) + b2)
 
     @jax.jit
-    def fused(c, nm):
-        return local_ppf_fused(c, nm, w1, b1, w2, b2,
-                               radius=radius, max_neighbors=k)
-
-    @jax.jit
     def unfused(c, nm):
         idx = ball_query(c, c, radius, k)
         nbr = grouping(jnp.concatenate([c, nm], -1), idx)
@@ -86,13 +80,9 @@ def mode_local(args):
         return jnp.max(jnp.where(ok[..., None], mlp(feats), -jnp.inf),
                        axis=-2)
 
-    for name, fn in [("fused(pallas)", fused), ("unfused(topk)", unfused),
-                     ("rank_select", rank_select)]:
-        try:
-            t = timeit(fn, coords, normals, reps=args.reps)
-            print(f"{name:16s} {t * 1e3:8.2f} ms")
-        except Exception as e:  # pallas may be unavailable off-TPU
-            print(f"{name:16s} FAILED: {type(e).__name__}")
+    for name, fn in [("unfused(topk)", unfused), ("rank_select", rank_select)]:
+        t = timeit(fn, coords, normals, reps=args.reps)
+        print(f"{name:16s} {t * 1e3:8.2f} ms")
     a, b = unfused(coords, normals), rank_select(coords, normals)
     print("rank_select max abs diff vs unfused:",
           float(jnp.max(jnp.abs(a - b))))

@@ -103,16 +103,15 @@ def main() -> int:
             args.timeout))
     if "reg" in steps:
         for mode in modes:
-            for method in methods:
-                # composite methods ride the same preset with an override
-                # (base presets keep the reference's method names).
-                base = method.split("+")[0]
-                record(run_step(
-                    f"reg_{mode}_{method}",
-                    [py, "-m", "rift_tpu.cli", *plat, "evaluate",
-                     "--preset", f"reg_{mode}_{base}_cu_dg", *ckpt_args,
-                     f"evaluate.method={method}"],
-                    args.timeout))
+            # ONE step per mode sweeping every method over a shared
+            # matching pass (evaluate_registration_sweep): the feature
+            # forward dominates compile+runtime and is method-independent.
+            record(run_step(
+                f"reg_{mode}",
+                [py, "-m", "rift_tpu.cli", *plat, "evaluate",
+                 "--preset", f"reg_{mode}_teaserpp_cu_dg", *ckpt_args,
+                 "--methods", ",".join(methods)],
+                args.timeout))
     if "map" in steps:
         record(run_step(
             "map",
@@ -163,20 +162,22 @@ def write_summary(results: list[dict], ckpt: str, rnd: int,
               "reg_time (s/pair) |",
               "|---|---|---|---|---|---|---|"]
     for mode in modes:
+        r = by.get(f"reg_{mode}")
+        if not r:
+            continue
+        m = r["metrics"]
         for method in methods:
-            r = by.get(f"reg_{mode}_{method}")
-            if not r:
-                continue
-            m = r["metrics"]
-            if not r["ok"]:
+            slug = method.replace("+", "_")
+            if not r["ok"] and f"{slug}_rre" not in m:
                 lines.append(f"| {mode} | {method} | FAILED | | | | |")
                 continue
             lines.append(
-                f"| {mode} | {method} | {m.get('rre', float('nan')):.3f} "
-                f"| {m.get('rte', float('nan')):.4f} "
-                f"| {m.get('rmse', float('nan')):.4f} "
-                f"| {m.get('succ', float('nan')):.2f} "
-                f"| {m.get('reg_time', float('nan')):.4f} |")
+                f"| {mode} | {method} "
+                f"| {m.get(f'{slug}_rre', float('nan')):.3f} "
+                f"| {m.get(f'{slug}_rte', float('nan')):.4f} "
+                f"| {m.get(f'{slug}_rmse', float('nan')):.4f} "
+                f"| {m.get(f'{slug}_succ', float('nan')):.2f} "
+                f"| {m.get(f'{slug}_reg_time', float('nan')):.4f} |")
     lines.append("")
     mp = by.get("map")
     if mp:

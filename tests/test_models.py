@@ -89,81 +89,6 @@ def test_pointnet_classifier(rng):
     assert out.shape == (2, 40)
 
 
-def test_fused_local_ppf_model_parity(rng):
-    """Eval forward with the fused Pallas local-PPF path == unfused path."""
-    kw = dict(
-        blocks=TINY_BLOCKS, dim_k=16, is_classify=False,
-        point_kernel_formal="dgcnn_kernel", voxel_shape="spherical",
-        rot_invariant_preprocess="change_coords", with_local_feat="ppf",
-        extra_feature_channels=4, local_neighbors=16,
-        with_coeff=True, with_se=True,
-    )
-    ref = PVCNNClassifier(fused_local_ppf="never", **kw)
-    fused = PVCNNClassifier(fused_local_ppf="always", **kw)
-    x = rng.randn(1, 128, 6).astype(np.float32)
-    x[..., 3:] /= np.linalg.norm(x[..., 3:], axis=-1, keepdims=True)
-    x = jnp.asarray(x)
-    variables = ref.init(jax.random.PRNGKey(0), x, train=False)
-    out_ref = ref.apply(variables, x, train=False)
-    out_fused = fused.apply(variables, x, train=False)  # same params
-    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
-                               atol=5e-4, rtol=1e-3)
-
-
-def test_fused_local_ppf_model_parity_bf16(rng):
-    """bf16 model: the fused precision='bf16' path (folded Dense+BN affines,
-    bf16 matmuls) vs the unfused Dense(bf16)->BN(bf16) composition. The two
-    round intermediates differently, so the tolerance bounds the folded-
-    affine deviation rather than asserting bit equality."""
-    kw = dict(
-        blocks=TINY_BLOCKS, dim_k=16, is_classify=False,
-        point_kernel_formal="dgcnn_kernel", voxel_shape="spherical",
-        rot_invariant_preprocess="change_coords", with_local_feat="ppf",
-        extra_feature_channels=4, local_neighbors=16,
-        with_coeff=True, with_se=True, dtype="bfloat16",
-    )
-    ref = PVCNNClassifier(fused_local_ppf="never", **kw)
-    fused = PVCNNClassifier(fused_local_ppf="always", **kw)
-    x = rng.randn(1, 128, 6).astype(np.float32)
-    x[..., 3:] /= np.linalg.norm(x[..., 3:], axis=-1, keepdims=True)
-    x = jnp.asarray(x)
-    variables = ref.init(jax.random.PRNGKey(0), x, train=False)
-    out_ref = np.asarray(ref.apply(variables, x, train=False), np.float32)
-    out_fused = np.asarray(fused.apply(variables, x, train=False), np.float32)
-    scale = np.maximum(np.abs(out_ref).max(), 1e-3)
-    np.testing.assert_allclose(out_fused, out_ref, atol=0.1 * scale,
-                               rtol=0.1)
-
-
-def test_fused_local_ppf_flag_validation(rng):
-    """'always' raises loudly when it cannot run; unknown values raise."""
-    import pytest
-
-    kw = dict(
-        blocks=TINY_BLOCKS, dim_k=16, is_classify=False,
-        point_kernel_formal="dgcnn_kernel", voxel_shape="spherical",
-        rot_invariant_preprocess="change_coords", with_local_feat="ppf",
-        extra_feature_channels=4, local_neighbors=16,
-    )
-    x = rng.randn(1, 128, 6).astype(np.float32)
-    x[..., 3:] /= np.linalg.norm(x[..., 3:], axis=-1, keepdims=True)
-    x = jnp.asarray(x)
-    good = PVCNNClassifier(fused_local_ppf="never", **kw)
-    variables = good.init(jax.random.PRNGKey(0), x, train=False)
-
-    bad_flag = PVCNNClassifier(fused_local_ppf="on", **kw)
-    with pytest.raises(ValueError, match="fused_local_ppf"):
-        bad_flag.apply(variables, x, train=False)
-
-    forced = PVCNNClassifier(fused_local_ppf="always", **kw)
-    with pytest.raises(ValueError, match="n % 128"):
-        forced.apply(variables, x[:, :96], train=False)
-    with pytest.raises(ValueError, match="eval-only"):
-        forced.apply(variables, x, train=True,
-                     rngs={"dropout": jax.random.PRNGKey(0)},
-                     mutable=["batch_stats"])
-
-
 def test_per_point_features_invariant_end_to_end(rng):
     """Registration-mode trunk with canonical voxel coords: per-point
     features of an exactly-rotated copy must match point-for-point (the

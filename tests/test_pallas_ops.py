@@ -143,60 +143,3 @@ def test_fast_path_gradients_match_xla(rng):
         sf.corner_gather_pallas = orig_cg
         sf.corner_scatter_pallas = orig_cs
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-4)
-
-
-def _unfused_local_ppf_mlp(coords, normals, w1, b1, w2, b2, radius, k):
-    """Oracle: ball_query -> grouping -> local_ppf -> folded MLP -> max_k."""
-    from rift_tpu.ops.neighbors import ball_query, grouping
-    from rift_tpu.ops.ppf import local_ppf
-
-    idx = ball_query(coords, coords, radius, k)
-    nbr = grouping(jnp.concatenate([coords, normals], -1), idx)
-    feats = local_ppf(nbr[..., :3], nbr[..., 3:], coords, normals)
-    h = jax.nn.relu(feats @ w1 + b1)
-    o = jax.nn.relu(h @ w2 + b2)
-    return jnp.max(o, axis=-2)
-
-
-def test_local_ppf_fused_matches_unfused(rng):
-    from rift_tpu.ops.pallas.local_ppf_fused import local_ppf_fused
-
-    b, n, k, radius = 2, 256, 24, 0.45
-    coords = jnp.asarray(rng.randn(b, n, 3).astype(np.float32)) * 0.4
-    normals = rng.randn(b, n, 3).astype(np.float32)
-    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
-    normals = jnp.asarray(normals)
-    w1 = jnp.asarray(rng.randn(4, 32).astype(np.float32) * 0.5)
-    b1 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
-    w2 = jnp.asarray(rng.randn(32, 64).astype(np.float32) * 0.3)
-    b2 = jnp.asarray(rng.randn(64).astype(np.float32) * 0.1)
-
-    got = local_ppf_fused(coords, normals, w1, b1, w2, b2,
-                          radius=radius, max_neighbors=k,
-                          ti=128, tj=128, precision="f32")
-    want = _unfused_local_ppf_mlp(coords, normals, w1, b1, w2, b2, radius, k)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-4, rtol=1e-4)
-
-
-def test_local_ppf_fused_no_neighbor_fallback(rng):
-    """Isolated points (no in-radius neighbor) fall back to nearest-point PPF."""
-    from rift_tpu.ops.pallas.local_ppf_fused import local_ppf_fused
-
-    b, n, k, radius = 1, 128, 8, 0.05
-    # Spread points far apart so most rows have zero in-radius neighbors.
-    coords = jnp.asarray(rng.randn(b, n, 3).astype(np.float32)) * 5.0
-    normals = rng.randn(b, n, 3).astype(np.float32)
-    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
-    normals = jnp.asarray(normals)
-    w1 = jnp.asarray(rng.randn(4, 16).astype(np.float32) * 0.5)
-    b1 = jnp.asarray(rng.randn(16).astype(np.float32) * 0.1)
-    w2 = jnp.asarray(rng.randn(16, 32).astype(np.float32) * 0.3)
-    b2 = jnp.asarray(rng.randn(32).astype(np.float32) * 0.1)
-
-    got = local_ppf_fused(coords, normals, w1, b1, w2, b2,
-                          radius=radius, max_neighbors=k,
-                          ti=128, tj=128, precision="f32")
-    want = _unfused_local_ppf_mlp(coords, normals, w1, b1, w2, b2, radius, k)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-4, rtol=1e-4)

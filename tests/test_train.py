@@ -113,7 +113,7 @@ def test_evaluate_with_trained_checkpoint(tmp_path):
     cls.model.extra_feature_channels = 4
     out = evaluate_classification_ckpt(
         cls, ckpt_dir=cfg.train.ckpt_dir, ckpt_name="best_acc", rotations=3)
-    assert set(out) == {"acc", "rot_agree", "logit_drift"}
+    assert set(out) == {"acc", "acc_hard", "rot_agree", "logit_drift"}
     assert 0.0 <= out["acc"] <= 1.0
     assert 0.0 <= out["rot_agree"] <= 1.0
     assert np.isfinite(out["logit_drift"])

@@ -47,15 +47,18 @@ def estimate_normals(points: Array, radius: float = 0.1,
     r2 = jnp.asarray(radius * radius, points.dtype)
     if min_neighbors and min_neighbors > 1 and n > min_neighbors:
         k = min(min_neighbors, n)
-        # k-th smallest d² per row. approx_min_k lowers to the TPU's
-        # PartialReduce unit instead of a full sort (top_k over [.., n, n]
-        # was the single most expensive piece of this op — the round-2
-        # hybrid-search fix cost ~8% end-to-end bench throughput through
-        # it). Recall < 1 can only *overestimate* the k-th distance, which
-        # expands the fallback radius and adds neighbors — the plane fit
-        # stays well-conditioned, and d² is rotation-invariant so
-        # equivariance is untouched.
-        kth = jax.lax.approx_min_k(d2, k)[0][..., -1:]
+        # Exact k-th smallest d² per row (full top_k). This is the single
+        # most expensive piece of the op (~8% of end-to-end bench
+        # throughput went to it when the round-2 hybrid-search correctness
+        # fix landed), but the cheap alternatives measurably break the
+        # fit: approx_min_k wedges XLA when fused into the big eval
+        # program on this backend, and a counting radius-ladder inflates
+        # sparse-region neighborhoods past snugness, making the local
+        # covariance near-isotropic — an ill-conditioned smallest
+        # eigenvector loses the exact equivariance this search exists to
+        # provide (measured: per-point feature match rate 1.00 -> 0.80 on
+        # an exactly rotated copy). Correctness keeps the sort.
+        kth = -jax.lax.top_k(-d2, k)[0][..., -1:]
         r2 = jnp.maximum(r2, kth * (1.0 + 1e-6))
     mask = (d2 < r2).astype(points.dtype)  # [..., n, n]
     cnt = jnp.sum(mask, axis=-1, keepdims=True)  # [..., n, 1] (>= 1: self)

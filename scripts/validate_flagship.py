@@ -106,11 +106,15 @@ def main() -> int:
             # ONE step per mode sweeping every method over a shared
             # matching pass (evaluate_registration_sweep): the feature
             # forward dominates compile+runtime and is method-independent.
+            # batch_pairs=25: the flip-consensus match program carries
+            # 5 clouds per pair; 125-cloud programs are the largest that
+            # reliably compile through this setup's remote-compile tunnel.
             record(run_step(
                 f"reg_{mode}",
                 [py, "-m", "rift_tpu.cli", *plat, "evaluate",
                  "--preset", f"reg_{mode}_teaserpp_cu_dg", *ckpt_args,
-                 "--methods", ",".join(methods)],
+                 "--methods", ",".join(methods),
+                 "evaluate.batch_pairs=25"],
                 args.timeout))
     if "map" in steps:
         record(run_step(
@@ -120,7 +124,17 @@ def main() -> int:
              "evaluate.method=teaserpp+picp"],
             args.timeout))
 
-    write_summary(results, args.ckpt, args.round, modes, methods)
+    # Rebuild the summary from the ACCUMULATED jsonl (latest entry per tag)
+    # so partial re-runs (--steps cls after recalibration, a retried mode)
+    # refresh their rows without dropping the others.
+    merged: dict[str, dict] = {}
+    with open(jsonl) as f:
+        for line in f:
+            r = json.loads(line)
+            if r["ok"] or r["tag"] not in merged:
+                merged[r["tag"]] = r
+    write_summary(list(merged.values()), args.ckpt, args.round, modes,
+                  methods)
     return 0 if all(r["ok"] for r in results) else 1
 
 

@@ -273,8 +273,16 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
             jnp.asarray(graph_meas), jnp.asarray(weights),
             num_iterations=gn_iterations))
 
-    # Bundle adjustment from the raw inlier correspondences.
+    # Bundle adjustment from the raw inlier correspondences, JOINT with the
+    # pose-graph edges: each edge enters with its inlier COUNT as weight
+    # (a robust pairwise measurement summarizes that many correspondences),
+    # so sparse/unreliable landmark sets refine the trajectory instead of
+    # dragging it away from the far more informative edge constraints.
     huber_delta = 1.5 * noise_bound
+    n_pts = scans.shape[1]
+    edge_terms = (jnp.asarray(i_idx), jnp.asarray(j_idx),
+                  jnp.asarray(graph_meas),
+                  jnp.asarray(np.maximum(edge_w * n_pts, 1.0), jnp.float32))
     lms, obs_pose, obs_local = build_landmarks(
         scans, graph, i_idx, j_idx, corr_idx2, corr_w, measurements,
         per_edge=landmarks_per_edge, max_residual=3.0 * noise_bound,
@@ -287,12 +295,12 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
         ba_poses, _ = bundle_adjust_sharded(
             jnp.asarray(graph), jnp.asarray(lms), jnp.asarray(obs_pose),
             jnp.asarray(obs_local), mesh, num_iterations=ba_iterations,
-            huber_delta=huber_delta)
+            huber_delta=huber_delta, edges=edge_terms)
     else:
         ba_poses, _ = bundle_adjust(
             jnp.asarray(graph), jnp.asarray(lms), jnp.asarray(obs_pose),
             jnp.asarray(obs_local), num_iterations=ba_iterations,
-            huber_delta=huber_delta)
+            huber_delta=huber_delta, edges=edge_terms)
     ba_poses = np.asarray(ba_poses)
 
     metrics = {"num_edges": float(len(i_idx)),

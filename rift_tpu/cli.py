@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
     p_ecls.add_argument("--rotations", type=int, default=4,
                         help="rotation copies per cloud for the consistency "
                              "meter (0 disables)")
+    p_ecls.add_argument("--no-hard", action="store_true",
+                        help="skip the hard-tier pass (calibration probes "
+                             "sweep dataset overrides directly)")
     p_ecls.add_argument("overrides", nargs="*")
 
     p_map = sub.add_parser(
@@ -130,7 +133,7 @@ def main(argv: list[str] | None = None) -> int:
         ckpt_name = f"best_{args.best}" if args.best else None
         results = evaluate_classification_ckpt(
             config, ckpt_dir=args.ckpt, ckpt_name=ckpt_name,
-            rotations=args.rotations)
+            rotations=args.rotations, hard_tier=not args.no_hard)
         for key, value in results.items():
             print(f"{key}: {value:.6f}")
         return 0

@@ -77,6 +77,25 @@ def ransac_pose(
     score = jnp.sum(inliers, axis=-1) * ok  # failed checker -> score 0
     best = jnp.argmax(score)
     best_inliers = inliers[best]
-    # Refine on the winning inlier set (falls back to identity when empty).
+    # Refine on the winning inlier set (falls back to identity when empty),
     refined = weighted_kabsch(src, dst, best_inliers.astype(src.dtype))
-    return refined, best_inliers
+
+    # ... then Tukey-biweight IRLS on ALL correspondences (c = the inlier
+    # threshold): the hard 0/1 refit weights a boundary match the same as
+    # a dead-center one, so the estimate inherits the noise of its worst
+    # inliers — the smooth redescending weight w = (1 - (r/c)^2)^2 pulls
+    # the solution toward the well-matched core. Open3D's RANSAC does only
+    # the hard refit; this measurably tightens rotation on scan-resampled
+    # pairs where residuals sit near the threshold.
+    def tukey_step(t, _):
+        moved = jnp.einsum("ij,nj->ni", t[:3, :3], src) + t[:3, 3]
+        r = jnp.linalg.norm(moved - dst, axis=-1)
+        u = r / inlier_threshold
+        w = jnp.where((u < 1.0) & valid, (1.0 - u**2) ** 2, 0.0)
+        return weighted_kabsch(src, dst, w), None
+
+    refined, _ = jax.lax.scan(tukey_step, refined, None, length=3)
+    moved = jnp.einsum("ij,nj->ni", refined[:3, :3], src) + refined[:3, 3]
+    final_inliers = (jnp.linalg.norm(moved - dst, axis=-1)
+                     < inlier_threshold) & valid
+    return refined, final_inliers

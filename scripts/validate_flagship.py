@@ -133,8 +133,22 @@ def main() -> int:
             r = json.loads(line)
             if r["ok"] or r["tag"] not in merged:
                 merged[r["tag"]] = r
-    write_summary(list(merged.values()), args.ckpt, args.round, modes,
-                  methods)
+    # summarize over the UNION of modes/methods ever recorded, so a partial
+    # re-run refreshes its rows without dropping the others
+    all_modes = [m for m in REG_MODES if f"reg_{m}" in merged]
+    all_modes += [m for m in modes if m not in all_modes]
+    slugs_seen = set()
+    for r in merged.values():
+        for key in r["metrics"]:
+            if key.endswith("_rre"):
+                slugs_seen.add(key[:-4])
+    all_methods = [m for m in list(REG_METHODS) + methods
+                   if m.replace("+", "_") in slugs_seen]
+    seen = set()
+    all_methods = [m for m in all_methods
+                   if not (m in seen or seen.add(m))]
+    write_summary(list(merged.values()), args.ckpt, args.round, all_modes,
+                  all_methods)
     return 0 if all(r["ok"] for r in results) else 1
 
 

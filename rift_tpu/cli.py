@@ -133,7 +133,8 @@ def main(argv: list[str] | None = None) -> int:
         ckpt_name = f"best_{args.best}" if args.best else None
         results = evaluate_classification_ckpt(
             config, ckpt_dir=args.ckpt, ckpt_name=ckpt_name,
-            rotations=args.rotations, hard_tier=not args.no_hard)
+            rotations=args.rotations, hard_tier=not args.no_hard,
+            cli_overrides=args.overrides)
         for key, value in results.items():
             print(f"{key}: {value:.6f}")
         return 0

@@ -708,11 +708,19 @@ def evaluate_classification_ckpt(config: ExperimentConfig,
                                  ckpt_dir: str | None = None,
                                  ckpt_name: str | None = None,
                                  rotations: int = 4,
-                                 state=None, hard_tier: bool = True) -> dict:
+                                 state=None, hard_tier: bool = True,
+                                 cli_overrides: list[str] | None = None
+                                 ) -> dict:
     """Test-split accuracy (+ rotation consistency) of a trained classifier
     checkpoint, on the standard tier and (default) the hard tier.
     Ref: train.py `--evaluate` with the default `test` fn
-    (`train.py:204-225`) under the SO(3)/SO(3) protocol."""
+    (`train.py:204-225`) under the SO(3)/SO(3) protocol.
+
+    Precedence: checkpoint snapshot < explicit CLI overrides. The snapshot
+    makes eval see the training distribution by default, but it must not
+    silently stomp knobs the user set on the command line (it did:
+    calibration probes passing dataset.instance_jitter measured the
+    snapshot's 0.12 instead)."""
     import dataclasses as _dc
 
     log = get_logger(config.name)
@@ -732,6 +740,11 @@ def evaluate_classification_ckpt(config: ExperimentConfig,
         for key, value in snapshot["dataset"].items():
             if hasattr(config.dataset, key):
                 setattr(config.dataset, key, value)
+    if cli_overrides:
+        from .config import apply_overrides
+
+        apply_overrides(config, [o for o in cli_overrides
+                                 if o.lstrip("-").startswith("dataset.")])
     model = build_model(config)
     datasets = get_datasets(config.dataset)
     eval_step = make_eval_step(model)

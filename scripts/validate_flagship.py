@@ -117,11 +117,13 @@ def main() -> int:
                  "evaluate.batch_pairs=25"],
                 args.timeout))
     if "map" in steps:
+        # ransac+picp edges: the measured-best edge method on the
+        # adjacent-scan battery (RRE 0.53 / RTE 0.0074 at nh=2000).
         record(run_step(
             "map",
             [py, "-m", "rift_tpu.cli", *plat, "map-sequence",
              "--preset", "reg_icl_nuim_teaserpp_cu_dg", *ckpt_args,
-             "evaluate.method=teaserpp+picp"],
+             "evaluate.method=ransac+picp"],
             args.timeout))
 
     # Rebuild the summary from the ACCUMULATED jsonl (latest entry per tag)

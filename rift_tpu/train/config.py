@@ -152,8 +152,10 @@ def _registration(method: str, mode: str, voxel_shape: str = "cube",
     if mode == "icl_nuim":
         cfg.evaluate.noise_bound = 0.05  # scan-resample offsets dominate
         # Calibrated on the adjacent-scan battery (threshold sweep r3:
-        # 0.06/0.07/0.08/0.10 -> RRE 0.577/0.540/0.547/0.582).
+        # 0.06/0.07/0.08/0.10 -> RRE 0.577/0.540/0.547/0.582; doubling
+        # hypotheses 1000->2000 -> 0.529, ~1 ms/pair extra).
         cfg.evaluate.inlier_threshold = 0.07
+        cfg.evaluate.num_hypotheses = 2000
     return cfg
 
 

@@ -182,7 +182,15 @@ def train_segmentation(config: ExperimentConfig, shapenet_config=None,
     rng = jax.random.PRNGKey(config.seed)
     best: dict = {}
     ckpt = CheckpointManager(config.train.ckpt_dir)
-    for epoch in range(config.optim.num_epochs):
+    start_epoch = 0
+    if resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state, best = restored
+            start_epoch = int(state.step) // steps_per_epoch
+            log.info("seg resumed from step %d (epoch %d)", int(state.step),
+                     start_epoch)
+    for epoch in range(start_epoch, config.optim.num_epochs):
         t0 = time.time()
         losses = []
         for i, (clouds, labels) in enumerate(

@@ -178,8 +178,9 @@ def write_summary(results: list[dict], ckpt: str, rnd: int,
             f"- accuracy (standard tier): "
             f"**{m.get('acc', float('nan')):.4f}** "
             "(reference sph-dg on real MN40: 0.897, README.md:34)",
-            f"- accuracy (hard tier: 0.30 jitter, 512 pts, noise, 25% "
-            f"occlusion): **{m.get('acc_hard', float('nan')):.4f}**",
+            f"- accuracy (hard tier, train/loop.py:hard_tier_dataset — "
+            f"calibrated jitter/noise/occlusion at 512 pts): "
+            f"**{m.get('acc_hard', float('nan')):.4f}**",
             f"- rotation agreement (4 random SO(3) copies): "
             f"{m.get('rot_agree', float('nan')):.4f}",
             f"- logit drift across rotations: "
@@ -213,7 +214,7 @@ def write_summary(results: list[dict], ckpt: str, rnd: int,
     if mp:
         m = mp["metrics"]
         lines += [
-            "## Multi-scan mapping (north star, teaserpp+picp edges)",
+            "## Multi-scan mapping (north star, ransac+picp edges, joint BA)",
             "",
             "| stage | ATE |",
             "|---|---|",

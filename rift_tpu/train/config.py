@@ -70,6 +70,17 @@ class TrainConfig:
     ckpt_dir: str = "checkpoints"
     log_every: int = 10
     half_precision: bool = False   # bfloat16 activations in conv/mlp stacks
+    # Data-parallel training over a jax.sharding.Mesh of all local devices
+    # (the TPU-native redesign of the reference's unconditional
+    # nn.DataParallel wrap, train.py:116-117). Auto-on when >1 device and
+    # batch_size divides the device count; False forces single-device.
+    data_parallel: bool = True
+    # Every K epochs, register a small synthetic pair battery with the
+    # current trunk and track rre/rte/succ as best-able metrics — surfaces
+    # feature-quality regressions during training instead of at battery
+    # time. 0 = off (default: the probe costs one extra compile).
+    reg_probe_interval: int = 0
+    reg_probe_pairs: int = 16
 
 
 @dataclass

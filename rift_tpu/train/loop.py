@@ -53,12 +53,138 @@ def build_model(config: ExperimentConfig) -> PVCNNClassifier:
     )
 
 
-def train(config: ExperimentConfig, resume: bool = True) -> dict:
-    """Classification training (ref: train.py main loop)."""
+def make_distributed_step(train_step, data_parallel: bool = True,
+                          batch_size: int | None = None, log=None):
+    """Data-parallel wrapper shared by `train()` and `dryrun_multichip`.
+
+    When more than one device is visible (and `data_parallel`), builds a
+    mesh over all of them and wraps the jitted step with explicit DP
+    shardings (replicated state, batch-sharded inputs; gradient/BN psum
+    inserted by XLA) — the TPU-native redesign of the reference's
+    unconditional `nn.DataParallel` wrap (`train.py:116-117`).
+
+    Returns (step, mesh); mesh is None when running single-device.
+    """
+    n = jax.device_count()
+    if not data_parallel or n < 2:
+        return train_step, None
+    if batch_size is not None and batch_size % n != 0:
+        if log is not None:
+            log.warning(
+                "data_parallel requested but batch_size %d %% %d devices != 0;"
+                " falling back to single-device", batch_size, n)
+        return train_step, None
+    from ..parallel.mesh import make_mesh
+    from ..parallel.sharded_ops import make_sharded_train_step
+
+    mesh = make_mesh()
+    if log is not None:
+        log.info("data-parallel over %d devices (%s)", n,
+                 ",".join(str(d.platform) for d in mesh.devices.flat[:1]))
+    return make_sharded_train_step(train_step, mesh), mesh
+
+
+# Metric keys where smaller is better (registration errors, losses); all
+# other keys follow the reference's higher-is-better rule (train.py:176-200).
+_LOWER_BETTER = {"rre", "rte", "rmse", "reg_time", "loss", "logit_drift"}
+
+
+def _improved(key: str, new: float, old) -> bool:
+    if old is None:
+        return True
+    return new <= old if key in _LOWER_BETTER else new >= old
+
+
+def update_best(best: dict, results: dict, ckpt, state, config, log) -> None:
+    """Per-metric best tracking incl. dict-valued meters, saving a
+    `best_{name}` (or `best_{name}_{key}`) checkpoint per improved metric.
+    Ref: train.py:176-200 valid() + :340-355 ckpt copies — minus the
+    reference defect of copying dict-meter checkpoints unconditionally."""
+    for name, value in results.items():
+        if isinstance(value, dict):
+            for k, v in value.items():
+                tag = f"{name}_{k}"
+                if _improved(k, float(v), best.get(tag)):
+                    best[tag] = float(v)
+                    ckpt.save_best(tag, state, best, config)
+                    log.info("new best %s = %.4f", tag, float(v))
+        elif _improved(name, float(value), best.get(name)):
+            best[name] = float(value)
+            ckpt.save_best(name, state, best, config)
+
+
+def run_meters(state, eval_step, dataset, config, meter_factories: dict
+               ) -> dict:
+    """One pass over `dataset` feeding every registered meter
+    (ref: train.py:162-175 — meters share the forward)."""
+    meters = {k: f() for k, f in meter_factories.items()}
+    for clouds, labels in dataset.batches(
+        config.train.eval_batch_size, seed=0, shuffle=False, drop_last=False
+    ):
+        logits = np.asarray(eval_step(state, jnp.asarray(clouds)))
+        for m in meters.values():
+            m.update(logits, labels)
+    return {k: m.compute() for k, m in meters.items()}
+
+
+def registration_probe(state, config: ExperimentConfig,
+                       num_pairs: int = 16) -> dict:
+    """Cheap in-training feature-quality probe: synthetic noise-mode pairs
+    registered from mutual-NN matches of the *current* trunk (classifier
+    head params are unused by the extractor apply). Returns the
+    MeterRegistration dict, so `update_best` tracks best_reg_rre etc."""
+    import dataclasses as _dc
+
+    from ..data.registration_pairs import SyntheticPairs
+    from ..registration.gnc import gnc_pose
+
+    mcfg = _dc.replace(config.model, is_classify=False)
+    probe_model = build_model(_dc.replace(config, model=mcfg))
+    n = config.dataset.num_points
+    pairs = SyntheticPairs(num_pairs=num_pairs, num_points=n, mode="noise",
+                           seed=config.seed)
+    batch = next(pairs.batches(batch_size=num_pairs))
+    src, dst = jnp.asarray(batch.source), jnp.asarray(batch.target)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def probe(variables, src, dst):
+        clouds = jnp.concatenate([src, dst], 0)
+        x = jnp.concatenate([clouds, estimate_normals(clouds)], -1)
+        feats = probe_model.apply(variables, x, train=False)
+        b = src.shape[0]
+
+        def one(s, d, fs, fd):
+            i1, i2, m = mutual_nearest_neighbors(fs, fd)
+            t, _ = gnc_pose(s[i1], d[i2], m,
+                            noise_bound=config.evaluate.noise_bound)
+            return t
+
+        return jax.vmap(one)(src, dst, feats[:b], feats[b:])
+
+    est = probe(variables, src, dst)
+    errors = pair_errors(src, jnp.asarray(batch.transform), est)
+    meter = MeterRegistration()
+    meter.update(jax.tree_util.tree_map(np.asarray, errors))
+    return meter.compute()
+
+
+def train(config: ExperimentConfig, resume: bool = True,
+          meters: dict | None = None) -> dict:
+    """Classification training (ref: train.py main loop).
+
+    `meters`: {name: Meter factory} registry evaluated on the valid split
+    every `valid_interval` epochs with per-metric best checkpoints
+    (ref meter registry semantics, train.py:176-200,340-355). Default:
+    {'acc': MeterClassification}. Dict-valued meters get `best_{name}_{key}`
+    tracking. Runs data-parallel over all local devices when >1 is visible
+    (train.data_parallel, the nn.DataParallel analog).
+    """
     log = get_logger(config.name)
     writer = MetricWriter(config.train.ckpt_dir, config.name)
     datasets = get_datasets(config.dataset)
     model = build_model(config)
+    meters = meters or {"acc": MeterClassification}
 
     steps_per_epoch = max(len(datasets["train"]) // config.train.batch_size, 1)
     if config.train.steps_per_epoch:
@@ -68,6 +194,8 @@ def train(config: ExperimentConfig, resume: bool = True) -> dict:
     state, tx = create_state(model, config, jnp.asarray(sample),
                              steps_per_epoch, seed=config.seed)
     train_step = make_train_step(model, tx)
+    train_step, mesh = make_distributed_step(
+        train_step, config.train.data_parallel, config.train.batch_size, log)
     eval_step = make_eval_step(model)
 
     ckpt = CheckpointManager(config.train.ckpt_dir)
@@ -81,6 +209,11 @@ def train(config: ExperimentConfig, resume: bool = True) -> dict:
             log.info("resumed from step %d (epoch %d)", int(state.step), start_epoch)
 
     rng = jax.random.PRNGKey(config.seed)
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+
+        state = replicate(mesh, state)
+        rng = replicate(mesh, rng)
     for epoch in range(start_epoch, config.optim.num_epochs):
         t0 = time.time()
         losses = []
@@ -89,9 +222,10 @@ def train(config: ExperimentConfig, resume: bool = True) -> dict:
         ):
             if i >= steps_per_epoch:
                 break
-            state, metrics = train_step(
-                state, jnp.asarray(clouds), jnp.asarray(labels), rng
-            )
+            clouds, labels = jnp.asarray(clouds), jnp.asarray(labels)
+            if mesh is not None:
+                clouds, labels = shard_batch(mesh, (clouds, labels))
+            state, metrics = train_step(state, clouds, labels, rng)
             losses.append(metrics)
         loss = float(np.mean([float(m["loss"]) for m in losses]))
         acc = float(np.mean([float(m["acc"]) for m in losses]))
@@ -101,16 +235,24 @@ def train(config: ExperimentConfig, resume: bool = True) -> dict:
                  time.time() - t0)
 
         if (epoch + 1) % config.train.valid_interval == 0:
-            val = evaluate_classification(
-                state, eval_step, datasets["valid"], config
-            )
-            writer.write(step=int(state.step), epoch=epoch, split="valid", acc=val)
-            log.info("epoch %d: valid acc %.4f", epoch, val)
-            if val >= best.get("acc", -1.0):
-                best["acc"] = val
-                ckpt.save_best("acc", state, best, config)
+            results = run_meters(state, eval_step, datasets["valid"], config,
+                                 meters)
+            probe_every = config.train.reg_probe_interval
+            if probe_every and (epoch + 1) % probe_every == 0:
+                results["reg"] = registration_probe(
+                    state, config, config.train.reg_probe_pairs)
+            flat = {}
+            for k, v in results.items():
+                if isinstance(v, dict):
+                    flat.update({f"{k}_{kk}": float(vv) for kk, vv in v.items()})
+                else:
+                    flat[k] = float(v)
+            writer.write(step=int(state.step), epoch=epoch, split="valid",
+                         **flat)
+            log.info("epoch %d: valid %s", epoch, flat)
+            update_best(best, results, ckpt, state, config, log)
             ckpt.save_common(state, best, config)
-    return {"state": state, "best": best}
+    return {"state": state, "best": best, "loss": loss}
 
 
 def train_segmentation(config: ExperimentConfig, shapenet_config=None,

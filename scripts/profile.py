@@ -26,13 +26,15 @@ import numpy as np
 
 
 def timeit(fn, *args, reps=5, warmup=2):
+    # Host-fetch sync: block_until_ready returns at *dispatch* on the
+    # tunneled TPU backend (see bench.py), so float() is the only barrier.
     for _ in range(warmup):
         r = fn(*args)
-        jnp.sum(jax.tree.leaves(r)[0]).block_until_ready()
+        float(jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)))
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(reps)]
     for o in outs:
-        jnp.sum(jax.tree.leaves(o)[0]).block_until_ready()
+        float(jnp.sum(jax.tree.leaves(o)[0].astype(jnp.float32)))
     return (time.perf_counter() - t0) / reps
 
 

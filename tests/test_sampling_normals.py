@@ -80,3 +80,24 @@ def test_estimate_normals_equivariant_on_sparse_cloud(rng):
     err = np.linalg.norm(n1 @ R.T - n2, axis=-1)
     assert np.median(err) < 1e-3
     assert (err > 0.1).mean() < 0.02, (err > 0.1).mean()
+
+
+def test_exact_kth_smallest_equals_full_topk(rng):
+    """The hierarchical kth selection must be bitwise identical to the full
+    top_k (it feeds the hybrid-radius normal search whose exactness the
+    round-3 equivariance analysis depends on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rift_tpu.ops.normals import _exact_kth_smallest
+
+    d2 = jnp.asarray(np.abs(rng.randn(4, 128, 128)).astype(np.float32))
+    for k in (1, 3, 16):
+        ref = -jax.lax.top_k(-d2, k)[0][..., -1:]
+        got = _exact_kth_smallest(d2, k, groups=16)
+        assert bool(jnp.all(got == ref))
+    # indivisible fallback path
+    d2_odd = d2[..., :127]
+    got = _exact_kth_smallest(d2_odd, 5, groups=16)
+    ref = -jax.lax.top_k(-d2_odd, 5)[0][..., -1:]
+    assert bool(jnp.all(got == ref))

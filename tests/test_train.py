@@ -169,3 +169,55 @@ def test_batched_eval_matches_per_pair(tmp_path):
     for key in ("rre", "rte", "rmse", "succ", "rmse_succ"):
         np.testing.assert_allclose(batched[key], per_pair[key], rtol=1e-4,
                                    atol=1e-5, err_msg=key)
+
+
+def test_multimetric_best_tracking(tmp_path):
+    """Meter-registry semantics (ref train.py:176-200): several registered
+    meters, incl. a dict-valued one, each get best tracking + a best_{name}
+    checkpoint; lower-is-better keys improve downward."""
+    from rift_tpu.train.loop import MeterClassification, train
+
+    class DictMeter:
+        def __init__(self):
+            self.n = 0
+
+        def update(self, logits, labels):
+            self.n += len(labels)
+
+        def compute(self):
+            return {"succ": 1.0, "rre": 0.5}
+
+    cfg = get_config("tiny_smoke")
+    cfg.train.ckpt_dir = str(tmp_path / "ckpt")
+    cfg.optim.num_epochs = 1
+    cfg.train.steps_per_epoch = 2
+    out = train(cfg, resume=False,
+                meters={"acc": MeterClassification, "probe": DictMeter})
+    assert "acc" in out["best"]
+    assert out["best"]["probe_succ"] == 1.0
+    assert out["best"]["probe_rre"] == 0.5
+    assert (tmp_path / "ckpt" / "best_acc").exists()
+    assert (tmp_path / "ckpt" / "best_probe_rre").exists()
+
+
+def test_improved_direction():
+    from rift_tpu.train.loop import _improved
+
+    assert _improved("acc", 0.9, 0.8) and not _improved("acc", 0.7, 0.8)
+    assert _improved("rre", 0.4, 0.5) and not _improved("rre", 0.6, 0.5)
+    assert _improved("anything", 1.0, None)
+
+
+def test_registration_probe_in_training(tmp_path):
+    """reg_probe_interval wires a registration probe into valid epochs:
+    best_reg_* metrics appear and a best_reg_rre checkpoint is written."""
+    cfg = get_config("tiny_smoke")
+    cfg.train.ckpt_dir = str(tmp_path / "ckpt")
+    cfg.optim.num_epochs = 1
+    cfg.train.steps_per_epoch = 2
+    cfg.train.reg_probe_interval = 1
+    cfg.train.reg_probe_pairs = 2
+    out = train(cfg, resume=False)
+    assert "reg_rre" in out["best"]
+    assert np.isfinite(out["best"]["reg_rre"])
+    assert (tmp_path / "ckpt" / "best_reg_rre").exists()

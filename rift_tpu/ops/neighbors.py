@@ -264,3 +264,28 @@ def mutual_nearest_neighbors(feat1: Array, feat2: Array
     arange = jnp.arange(n1, dtype=corr12.dtype)
     mask = corr21[corr12] == arange
     return arange.astype(jnp.int32), corr12.astype(jnp.int32), mask
+
+
+def gated_mutual_nearest_neighbors(feat1: Array, feat2: Array,
+                                   spatial_valid: Array
+                                   ) -> tuple[Array, Array, Array]:
+    """Mutual-NN restricted to spatially plausible candidate pairs.
+
+    Same contract as `mutual_nearest_neighbors`, but candidates with
+    `spatial_valid[i, j] == False` are excluded from both argmins. Used by
+    the sequence pipeline with a motion-prior gate (a scan of a repetitive
+    scene — walls, floors — has near-identical features along a surface, so
+    unconstrained feature argmin matches any wall point to any other; a
+    prior-centered spatial gate turns that ambiguity back into a local
+    correspondence problem). Points whose candidate set is empty come back
+    masked out.
+    """
+    big = jnp.asarray(jnp.finfo(feat1.dtype).max, feat1.dtype)
+    d = jnp.where(spatial_valid, pairwise_sqdist(feat1, feat2), big)
+    corr12 = jnp.argmin(d, axis=-1)
+    corr21 = jnp.argmin(d, axis=-2)
+    n1 = feat1.shape[-2]
+    arange = jnp.arange(n1, dtype=corr12.dtype)
+    has = jnp.take_along_axis(spatial_valid, corr12[..., None], axis=-1)[..., 0]
+    mask = (corr21[corr12] == arange) & has
+    return arange.astype(jnp.int32), corr12.astype(jnp.int32), mask

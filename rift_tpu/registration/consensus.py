@@ -21,7 +21,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.neighbors import mutual_nearest_neighbors, pairwise_sqdist
+from ..ops.neighbors import (gated_mutual_nearest_neighbors,
+                             mutual_nearest_neighbors, pairwise_sqdist)
 
 Array = jax.Array
 
@@ -43,15 +44,22 @@ def rigidity_score(src: Array, dst: Array, i1: Array, i2: Array,
 
 
 def consensus_match(src: Array, dst: Array, feat_src_h: Array,
-                    feat_dst: Array, tau: float = 0.04
+                    feat_dst: Array, tau: float = 0.04,
+                    spatial_valid: Array | None = None
                     ) -> tuple[Array, Array, Array, Array]:
     """Match under every source-frame hypothesis, keep the most rigid one.
 
     src [n, 3], dst [m, 3], feat_src_h [H, n, c] (source features under H
     frame hypotheses), feat_dst [m, c] ->
     (i1 [n], i2 [n], mask [n], chosen_h scalar int).
+
+    `spatial_valid` [n, m] (optional) restricts every hypothesis's matching
+    to spatially plausible candidates (motion-prior gate, see
+    `gated_mutual_nearest_neighbors`).
     """
     def match(fs):
+        if spatial_valid is not None:
+            return gated_mutual_nearest_neighbors(fs, feat_dst, spatial_valid)
         return mutual_nearest_neighbors(fs, feat_dst)
 
     i1s, i2s, masks = jax.vmap(match)(feat_src_h)

@@ -92,3 +92,88 @@ def test_map_sequence_sharded_matches_single():
     np.testing.assert_allclose(sharded.graph, single.graph, atol=1e-3)
     np.testing.assert_allclose(sharded.ba, single.ba, atol=1e-3)
     assert abs(sharded.metrics["ate_ba"] - single.metrics["ate_ba"]) < 1e-3
+
+
+def test_gated_mutual_nn_contract(rng):
+    from rift_tpu.ops.neighbors import (gated_mutual_nearest_neighbors,
+                                        mutual_nearest_neighbors)
+
+    f1 = jnp.asarray(rng.randn(32, 8).astype(np.float32))
+    f2 = jnp.asarray(rng.randn(32, 8).astype(np.float32))
+    all_true = jnp.ones((32, 32), bool)
+    a = mutual_nearest_neighbors(f1, f2)
+    b = gated_mutual_nearest_neighbors(f1, f2, all_true)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # a gate that forbids everything masks every match out
+    none = jnp.zeros((32, 32), bool)
+    _, _, mask = gated_mutual_nearest_neighbors(f1, f2, none)
+    assert int(mask.sum()) == 0
+    # gate restricted to the true diagonal forces identity matching
+    eye = jnp.eye(32, dtype=bool)
+    _, i2, mask = gated_mutual_nearest_neighbors(f1, f1, eye)
+    assert bool(jnp.all(i2 == jnp.arange(32)))
+    assert int(mask.sum()) == 32
+
+
+def test_gated_register_edges_rescues_featureless_matching():
+    """Motion-prior-gated matching (VERDICT r3 #5 mechanism): with features
+    carrying NO correspondence signal, ungated mutual-NN gives garbage
+    edges, while a prior-centered spatial gate bounds every putative match
+    to the gate ball, so the robust solve lands near the prior."""
+    from rift_tpu.registration.sequence import register_edges
+
+    rs = np.random.RandomState(0)
+    seq = SyntheticSequence(SequenceConfig(
+        num_scans=5, num_points=256, scene_points=4096, crop=True, seed=3))
+    feats = rs.randn(5, 256, 8).astype(np.float32)  # pure noise features
+    i_idx, j_idx = build_edges(5, loop_stride=0)
+    gt_rel = np.stack([seq.relative_gt(int(a), int(b))
+                       for a, b in zip(i_idx, j_idx)])
+
+    def edge_rre(meas):
+        out = []
+        for e in range(len(meas)):
+            c = (np.trace(gt_rel[e][:3, :3].T @ meas[e][:3, :3]) - 1) / 2
+            out.append(np.degrees(np.arccos(np.clip(c, -1, 1))))
+        return np.asarray(out)
+
+    args = dict(method="teaserpp", num_hypotheses=64, seed=0)
+    m_free, _, _, _ = register_edges(
+        jnp.asarray(seq.scans), jnp.asarray(feats), i_idx, j_idx, **args)
+    m_gate, _, _, _ = register_edges(
+        jnp.asarray(seq.scans), jnp.asarray(feats), i_idx, j_idx,
+        priors=gt_rel, spatial_gate=0.2, **args)
+    assert np.mean(edge_rre(m_gate)) < np.mean(edge_rre(m_free)) / 2
+    assert np.mean(edge_rre(m_gate)) < 5.0
+
+
+def test_map_sequence_refresh_hits_inlier_target():
+    """Transform-refreshed correspondences + gauge-invariant step metric:
+    on the crop sequence with surface-ambiguous features (the VALIDATION_r03
+    failure structure), the map pipeline must reach the VERDICT r3 #5
+    targets: mean_edge_inliers >= 0.25 and mean step RRE < 2 deg, and the
+    gated round must never make things worse (monotone merge)."""
+    seq = SyntheticSequence(SequenceConfig(
+        num_scans=6, num_points=256, scene_points=4096, crop=True, seed=3))
+    feats = []
+    for scan, pose in zip(seq.scans, seq.gt_poses):
+        w = scan @ pose[:3, :3].T + pose[:3, 3]
+        feats.append(np.stack([w[:, 2], 0.05 * w[:, 0], 0.05 * w[:, 1]], -1))
+    feats = np.stack(feats).astype(np.float32)
+
+    def run(gate_rounds):
+        return map_sequence(seq.scans, feats, gt_poses=seq.gt_poses,
+                            method="teaserpp", loop_stride=4,
+                            landmarks_per_edge=16, num_hypotheses=64,
+                            spatial_gate=0.3, gate_rounds=gate_rounds,
+                            seed=0)
+
+    base = run(0)
+    gated = run(1)
+    assert gated.metrics["mean_edge_inliers"] >= 0.25
+    assert gated.metrics["mean_step_rre"] < 2.0
+    assert gated.metrics["mean_edge_rre"] < 2.0
+    assert gated.metrics["mean_edge_inliers"] >= base.metrics[
+        "mean_edge_inliers"] - 1e-6
+    assert gated.metrics["ate_ba"] <= base.metrics["ate_ba"] * 1.05 + 1e-4

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rift_tpu.ops.neighbors import mutual_nearest_neighbors
 from rift_tpu.parallel import make_mesh, sharded_mutual_nn
@@ -25,12 +26,16 @@ def test_sharded_mutual_nn_matches_single_device(rng):
     np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(want_mask))
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_train_dp_matches_single_device_oracle(tmp_path):
     """Mesh-DP training through the PRODUCTION train() path equals the
     single-device oracle: same tiny config, 3 steps, final params and loss
@@ -57,6 +62,8 @@ def test_train_dp_matches_single_device_oracle(tmp_path):
     assert abs(single["best"]["acc"] - dp["best"]["acc"]) < 1e-6
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_dp_single_step_equivalence(tmp_path):
     """ONE step sharded vs single-device from identical init: loss, acc and
     the new BatchNorm stats must agree tightly — this is the sharp check

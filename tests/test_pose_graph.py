@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rift_tpu.ops import se3
 from rift_tpu.parallel import make_mesh
@@ -132,6 +133,8 @@ def test_bundle_adjust_converges(rng):
     assert lm_err < 1e-2, lm_err
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_bundle_adjust_sharded_matches_single(rng):
     gt_poses, gt_lms, obs_pose, obs_local = _make_ba_problem(rng, noise=0.01)
     init_lms = gt_lms + rng.randn(*gt_lms.shape).astype(np.float32) * 0.05

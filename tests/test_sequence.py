@@ -76,6 +76,8 @@ def test_map_sequence_oracle_features_monotonic_ate():
     assert m["ate_ba"] < 0.05, m
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_map_sequence_sharded_matches_single():
     """Edge-sharded pose graph + landmark-sharded BA on the 8-device CPU
     mesh reproduce the single-device result (psum reassociation only)."""

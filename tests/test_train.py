@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from rift_tpu.train import apply_overrides, get_config, presets
 from rift_tpu.train.loop import evaluate_registration, train
@@ -60,6 +61,8 @@ def test_registration_eval_smoke(tmp_path):
         assert np.isfinite(results[key])
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_evaluate_with_trained_checkpoint(tmp_path):
     """Round trip (VERDICT r1 item 2): train tiny -> save -> evaluate loads
     the TRAINED params (differ from a fresh init) and the snapshot arch.
@@ -171,6 +174,8 @@ def test_batched_eval_matches_per_pair(tmp_path):
                                    atol=1e-5, err_msg=key)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_multimetric_best_tracking(tmp_path):
     """Meter-registry semantics (ref train.py:176-200): several registered
     meters, incl. a dict-valued one, each get best tracking + a best_{name}

@@ -195,10 +195,23 @@ class PVCNNClassifier(nn.Module):
                 # zero-padded slots are masked out of the max. Training keeps
                 # the reference composition so BatchNorm sees the reference's
                 # duplicate-padded rows.
-                nbr, slot_ok = ball_query_group(
-                    coords, coords, jnp.concatenate([coords, normals], -1),
-                    self.local_radius, self.local_neighbors)
-                feats = local_ppf(nbr[..., :3], nbr[..., 3:], coords, normals)
+                if self._dtype == jnp.bfloat16:
+                    # bf16 fuser: the fused channel-map path produces the
+                    # same bf16 MLP inputs (up to one f32 reassociation)
+                    # with ~2.5x less selector-contraction work
+                    # (ops/ppf.py:local_ppf_grouped_fast).
+                    from ..ops.ppf import local_ppf_grouped_fast
+
+                    feats, slot_ok = local_ppf_grouped_fast(
+                        coords, normals, self.local_radius,
+                        self.local_neighbors)
+                else:
+                    nbr, slot_ok = ball_query_group(
+                        coords, coords,
+                        jnp.concatenate([coords, normals], -1),
+                        self.local_radius, self.local_neighbors)
+                    feats = local_ppf(nbr[..., :3], nbr[..., 3:], coords,
+                                      normals)
                 fused = mlp(feats, train=False)
                 fused = jnp.where(slot_ok[..., None], fused,
                                   -jnp.inf if fused.dtype == jnp.float32

@@ -33,20 +33,25 @@ def wall(fn, *args, reps=3, warmup=1):
     return (time.perf_counter() - t0) / reps
 
 
-def slope_time(stage, x, reps=3):
-    """stage: (x_perturbed) -> scalar. Returns per-application device ms."""
+def slope_time(stage, x, reps=3, *data):
+    """stage: (x_perturbed, *data) -> scalar. Returns per-application ms.
+
+    Any large arrays MUST be passed via *data (jit arguments): closed-over
+    jnp arrays are baked into the HLO as constants, and a 100+ MB program
+    body blows the tunnel's remote-compile request limit (HTTP 413).
+    """
     def many(k):
         @jax.jit
-        def f(x):
+        def f(x, *data):
             def body(c, i):
-                return c + stage(x + c * 1e-12 + i * 1e-6), None
+                return c + stage(x + c * 1e-12 + i * 1e-6, *data), None
             s, _ = lax.scan(body, jnp.zeros((), jnp.float32),
                             jnp.arange(k, dtype=jnp.float32))
             return s
         return f
 
-    t_lo = wall(many(K_LO), x, reps=reps)
-    t_hi = wall(many(K_HI), x, reps=reps)
+    t_lo = wall(many(K_LO), x, *data, reps=reps)
+    t_hi = wall(many(K_HI), x, *data, reps=reps)
     return (t_hi - t_lo) / (K_HI - K_LO) * 1e3, t_lo * 1e3
 
 
@@ -58,8 +63,8 @@ def cloud(b=128, n=1024, seed=0):
     return jnp.asarray(c), jnp.asarray(nm)
 
 
-def report(tag, stage, x, reps):
-    ms, lo = slope_time(stage, x, reps=reps)
+def report(tag, stage, x, reps, *data):
+    ms, lo = slope_time(stage, x, reps, *data)
     print(f"{tag:28s} {ms:8.2f} ms/app   (K={K_LO} wall {lo:7.1f} ms)")
 
 
@@ -83,19 +88,17 @@ def mode_match3(args):
     f1 = jnp.asarray(rng.randn(b, n, 512).astype(np.float32))
     f2 = jnp.asarray(rng.randn(b, n, 512).astype(np.float32))
 
-    def shipped(eps):
-        def s(x):
-            i1, i2, m = jax.vmap(mutual_nearest_neighbors)(f1 + x, f2)
-            return jnp.sum(i2) * 1e-9 + jnp.sum(m)
-        return s
+    def shipped(x, f1, f2):
+        i1, i2, m = jax.vmap(mutual_nearest_neighbors)(f1 + x, f2)
+        return jnp.sum(i2) * 1e-9 + jnp.sum(m)
 
-    report("match3/shipped", shipped(0), jnp.zeros(()), args.reps)
+    report("match3/shipped", shipped, jnp.zeros(()), args.reps, f1, f2)
 
-    def bf16_match(x):
+    def bf16_match(x, f1, f2):
         a = (f1 + x).astype(jnp.bfloat16)
         bb = f2.astype(jnp.bfloat16)
-        d = (jnp.sum(a.astype(jnp.float32)**2, -1, keepdims=True)
-             + jnp.sum(bb.astype(jnp.float32)**2, -1)[:, None, :]
+        d = (jnp.sum(f1**2, -1, keepdims=True)
+             + jnp.sum(f2**2, -1)[:, None, :]
              - 2.0 * lax.dot_general(
                  a, bb, (((2,), (2,)), ((0,), (0,))),
                  preferred_element_type=jnp.float32))
@@ -105,7 +108,21 @@ def mode_match3(args):
             n, dtype=c12.dtype)
         return jnp.sum(c12) * 1e-9 + jnp.sum(mask)
 
-    report("match3/bf16", bf16_match, jnp.zeros(()), args.reps)
+    report("match3/bf16", bf16_match, jnp.zeros(()), args.reps, f1, f2)
+
+    def min_iota(x, f1, f2):
+        from rift_tpu.ops.neighbors import pairwise_sqdist
+
+        d = pairwise_sqdist(f1 + x, f2)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        m12 = jnp.min(d, -1, keepdims=True)
+        c12 = jnp.min(jnp.where(d <= m12, iota, n), -1)
+        m21 = jnp.min(d, -2, keepdims=True)
+        c21 = jnp.min(jnp.where(d <= m21, iota[:, None], n), -2)
+        mask = jnp.take_along_axis(c21, c12, -1) == iota
+        return jnp.sum(c12) * 1e-9 + jnp.sum(mask)
+
+    report("match3/min_iota", min_iota, jnp.zeros(()), args.reps, f1, f2)
 
 
 # --------------------------------------------------------------------------
@@ -160,17 +177,17 @@ def mode_conv3(args):
                     ).astype(jnp.bfloat16)
     flops = b * r**3 * 27 * c * c * 2
 
-    def conv3d(x):
+    def conv3d(x, x0, w):
         y = lax.conv_general_dilated(
             (x0 + x.astype(jnp.bfloat16)), w, (1, 1, 1), "SAME",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
             preferred_element_type=jnp.float32)
         return jnp.sum(y) * 1e-9
 
-    ms, _ = slope_time(conv3d, jnp.zeros(()), reps=args.reps)
+    ms, _ = slope_time(conv3d, jnp.zeros(()), args.reps, x0, w)
     print(f"conv3/conv3d    {ms:8.2f} ms/app  MFU={flops/(ms*1e-3)/197e12:5.1%}")
 
-    def zshift(x):
+    def zshift(x, x0, w):
         xx = x0 + x.astype(jnp.bfloat16)
         xp = jnp.pad(xx, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
         acc = None
@@ -184,7 +201,7 @@ def mode_conv3(args):
             acc = y if acc is None else acc + y
         return jnp.sum(acc) * 1e-9
 
-    ms, _ = slope_time(zshift, jnp.zeros(()), reps=args.reps)
+    ms, _ = slope_time(zshift, jnp.zeros(()), args.reps, x0, w)
     print(f"conv3/zshift    {ms:8.2f} ms/app  MFU={flops/(ms*1e-3)/197e12:5.1%}")
 
 
@@ -214,6 +231,16 @@ def mode_localppf3(args):
                                -2)) * 1e-9
 
     report("localppf3/shipped", shipped, jnp.zeros(()), args.reps)
+
+    from rift_tpu.ops.ppf import local_ppf_grouped_fast
+
+    def fast(x):
+        c = coords + x
+        feats, ok = local_ppf_grouped_fast(c, normals, radius, k)
+        return jnp.sum(jnp.max(jnp.where(ok[..., None], mlp(feats), -jnp.inf),
+                               -2)) * 1e-9
+
+    report("localppf3/fast", fast, jnp.zeros(()), args.reps)
 
 
 MODES = {"floor": mode_floor, "match3": mode_match3, "gnc3": mode_gnc3,

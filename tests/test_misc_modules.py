@@ -112,3 +112,25 @@ def test_seg_training_smoke(tmp_path):
                         synthetic_items={"train": 8, "test": 4})
     out = train_segmentation(cfg, shapenet_config=sn, resume=False)
     assert "iou" in out["best"]
+
+
+def test_pair_hash_utilities():
+    """FCGF-style pair hashing (ref utils/hash_external.py:4-32): hash of
+    stacked index pairs, row lookup, vectorized set-difference filtering."""
+    import numpy as np
+
+    from rift_tpu.utils.pair_hash import (filter_intersection, find_row,
+                                          hash_pairs, hash_rows)
+
+    arr = np.array([[1, 2], [3, 4], [1, 2]])
+    h = hash_rows(arr, seed=10)
+    assert h[0] == 1 + 2 * 10 and h[1] == 3 + 4 * 10 and h[2] == h[0]
+    hp = hash_pairs(np.array([1, 3]), np.array([2, 4]), seed=10)
+    np.testing.assert_array_equal(hp, [21, 43])
+    assert list(find_row(np.array([3, 4]), arr)) == [1]
+    src = np.array([[1, 2], [5, 6], [3, 4]])
+    out = filter_intersection(src, arr)
+    np.testing.assert_array_equal(out, [[5, 6]])
+    # empty edge cases
+    np.testing.assert_array_equal(filter_intersection(src, np.empty((0, 2))),
+                                  src)

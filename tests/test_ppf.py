@@ -75,3 +75,35 @@ def test_new_ppf_five_channels_and_invariance(rng):
     rot = np.asarray(se3.random_so3(jax.random.PRNGKey(11)))
     f2 = new_ppf(jnp.asarray(pts @ rot.T), jnp.asarray(nrm @ rot.T))
     np.testing.assert_allclose(np.asarray(f), np.asarray(f2), atol=5e-4)
+
+
+def test_local_ppf_grouped_fast_matches_shipped_composition(rng):
+    """The fused channel-map path must reproduce the shipped eval
+    composition (ball_query_group -> local_ppf -> bf16 cast): identical
+    slot_valid and neighbor ordering, features within one bf16 ulp (the
+    only difference is one f32 reassociation per dot product)."""
+    import jax.numpy as jnp
+
+    from rift_tpu.ops.neighbors import ball_query_group
+    from rift_tpu.ops.ppf import local_ppf, local_ppf_grouped_fast
+
+    b, n, k, radius = 2, 96, 16, 0.5
+    coords = jnp.asarray(rng.randn(b, n, 3).astype(np.float32) * 0.3)
+    normals = rng.randn(b, n, 3).astype(np.float32)
+    normals = jnp.asarray(normals / np.linalg.norm(normals, axis=-1,
+                                                   keepdims=True))
+    nbr, ok_ref = ball_query_group(
+        coords, coords, jnp.concatenate([coords, normals], -1), radius, k)
+    ref = local_ppf(nbr[..., :3], nbr[..., 3:], coords, normals
+                    ).astype(jnp.bfloat16)
+    got, ok = local_ppf_grouped_fast(coords, normals, radius, k)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+    mask = np.asarray(ok)[..., None]
+    diff = np.abs(np.where(mask, np.asarray(got, np.float32)
+                           - np.asarray(ref, np.float32), 0.0))
+    assert diff.max() < 0.02, diff.max()  # one bf16 ulp on [0, pi] values
+    # distances (channel 3) are computed identically -> exact
+    np.testing.assert_allclose(
+        np.where(mask[..., 0], np.asarray(got, np.float32)[..., 3], 0),
+        np.where(mask[..., 0], np.asarray(ref, np.float32)[..., 3], 0),
+        atol=1e-3)

@@ -195,11 +195,15 @@ class PVCNNClassifier(nn.Module):
                 # zero-padded slots are masked out of the max. Training keeps
                 # the reference composition so BatchNorm sees the reference's
                 # duplicate-padded rows.
-                if self._dtype == jnp.bfloat16:
+                import os as _os
+
+                if (self._dtype == jnp.bfloat16
+                        and _os.environ.get("RIFT_FAST_LOCAL_PPF", "1") != "0"):
                     # bf16 fuser: the fused channel-map path produces the
                     # same bf16 MLP inputs (up to one f32 reassociation)
                     # with ~2.5x less selector-contraction work
-                    # (ops/ppf.py:local_ppf_grouped_fast).
+                    # (ops/ppf.py:local_ppf_grouped_fast). Env toggle for
+                    # A/B timing (RIFT_FAST_LOCAL_PPF=0 -> shipped path).
                     from ..ops.ppf import local_ppf_grouped_fast
 
                     feats, slot_ok = local_ppf_grouped_fast(

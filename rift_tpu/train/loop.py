@@ -332,6 +332,20 @@ def train_segmentation(config: ExperimentConfig, shapenet_config=None,
             start_epoch = int(state.step) // steps_per_epoch
             log.info("seg resumed from step %d (epoch %d)", int(state.step),
                      start_epoch)
+    # Same mesh-DP wrapper as train(): adapt seg_step to the (state, metrics)
+    # contract (logits dropped under DP — gathering them would all-gather
+    # [b, n, classes] every step for nothing).
+    def _seg2(state, clouds, labels, rng):
+        new_state, loss, _ = seg_step(state, clouds, labels, rng)
+        return new_state, {"loss": loss}
+
+    dp_step, mesh = make_distributed_step(
+        _seg2, config.train.data_parallel, config.train.batch_size, log)
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+
+        state = replicate(mesh, state)
+        rng = replicate(mesh, rng)
     for epoch in range(start_epoch, config.optim.num_epochs):
         t0 = time.time()
         losses = []
@@ -340,8 +354,13 @@ def train_segmentation(config: ExperimentConfig, shapenet_config=None,
         ):
             if i >= steps_per_epoch:
                 break
-            state, loss, _ = seg_step(state, jnp.asarray(clouds),
-                                      jnp.asarray(labels), rng)
+            clouds, labels = jnp.asarray(clouds), jnp.asarray(labels)
+            if mesh is not None:
+                clouds, labels = shard_batch(mesh, (clouds, labels))
+                state, metrics = dp_step(state, clouds, labels, rng)
+                loss = metrics["loss"]
+            else:
+                state, loss, _ = seg_step(state, clouds, labels, rng)
             losses.append(float(loss))
         meter = MeterShapeNetIoU()
         for clouds, labels in datasets["test"].batches(

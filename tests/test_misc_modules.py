@@ -134,3 +134,22 @@ def test_pair_hash_utilities():
     # empty edge cases
     np.testing.assert_array_equal(filter_intersection(src, np.empty((0, 2))),
                                   src)
+
+
+def test_seg_training_dp_smoke(tmp_path):
+    """ShapeNet seg training through the mesh-DP path (same
+    make_distributed_step wrapper as train()): one epoch on the 8-device
+    virtual mesh must run and track best IoU."""
+    from rift_tpu.data.shapenet import ShapeNetConfig
+    from rift_tpu.train import get_config
+    from rift_tpu.train.loop import train_segmentation
+
+    cfg = get_config("tiny_smoke")
+    cfg.train.ckpt_dir = str(tmp_path / "seg")
+    cfg.train.batch_size = 8
+    cfg.optim.num_epochs = 1
+    cfg.train.steps_per_epoch = 2
+    cfg.model.num_classes = 50
+    sn = ShapeNetConfig(num_points=64, synthetic_items={"train": 16, "test": 8})
+    out = train_segmentation(cfg, shapenet_config=sn, resume=False)
+    assert "iou" in out["best"]

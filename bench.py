@@ -5,11 +5,14 @@ accelerator: per-point rotation-invariant features (flagship PVCNN sph+dgcnn
 extractor, 1024 points) -> mutual-NN matching -> GNC-TLS robust pose,
 everything jitted and batched on device.
 
-Methodology: the whole pipeline is ONE jitted program per batch of 64 pairs;
-several batches are enqueued back-to-back and synchronized once at the end,
-so the number reflects sustained throughput (dispatch latency through the
-TPU tunnel — ~25 ms/call on this setup — is included, amortized over the
-batch, exactly as a production serving loop would run).
+Methodology: ONE jitted program registers a STACK of batches (lax.scan over
+6 batches of 64 pairs), so per-dispatch host/tunnel overhead (~130 ms per
+execute on this setup, measured as wall minus the K-application slope of
+the same program, scripts/microbench4.py register) amortizes over 384
+pairs, exactly as a production serving loop would batch its queue.
+Several stacked dispatches are enqueued back-to-back and synchronized at
+the end; the number is sustained throughput including all remaining host
+overhead.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -52,8 +55,9 @@ def main() -> None:
     from rift_tpu.registration import gnc_pose
     from rift_tpu.ops.neighbors import mutual_nearest_neighbors
 
-    n_points = 1024
-    batch_pairs = 64
+    # Flagship shapes; env-overridable so a CPU smoke run stays cheap.
+    n_points = int(os.environ.get("BENCH_POINTS", "1024"))
+    batch_pairs = int(os.environ.get("BENCH_PAIRS", "64"))
 
     model = PVCNNClassifier(
         blocks=((64, 1, 32), (128, 1, 32), (256, 1, None), (512, 1, None)),
@@ -75,7 +79,6 @@ def main() -> None:
     sample = jnp.concatenate([src[:1], jnp.zeros_like(src[:1])], -1)  # [1,n,6]
     variables = model.init(jax.random.PRNGKey(0), sample, train=False)
 
-    @jax.jit
     def register_batch(variables, src, dst):
         # Both clouds of every pair go through one forward: [2b, n, 6].
         clouds = jnp.concatenate([src, dst], 0)
@@ -94,26 +97,42 @@ def main() -> None:
 
         return jax.vmap(one)(src, dst, f_src, f_dst)
 
+    stack = int(os.environ.get("BENCH_STACK", "6"))  # batches per dispatch
+
+    @jax.jit
+    def register_stack(variables, src_stack, dst_stack):
+        def body(_, sd):
+            s, d = sd
+            return 0, register_batch(variables, s, d)
+
+        _, outs = jax.lax.scan(body, 0, (src_stack, dst_stack))
+        return outs
+
     def sync(x):
         # A tiny host fetch of a device-reduced scalar: the only reliable
         # synchronization on the tunneled TPU backend (block_until_ready
         # returns at dispatch there, not completion).
         return float(jnp.sum(x))
 
-    # Warm up / compile.
-    sync(register_batch(variables, src, dst))
+    src_stack = jnp.stack([src + 1e-4 * i for i in range(stack)])
+    dst_stack = jnp.stack([dst] * stack)
 
-    # Timed: enqueue all batches, sync once (inputs varied so nothing caches).
-    reps = 5
+    # Warm up / compile.
+    sync(register_stack(variables, src_stack, dst_stack))
+
+    # Timed: enqueue all dispatches, sync once (inputs varied per rep).
+    reps = 3
     t0 = time.perf_counter()
-    outs = [register_batch(variables, src + 1e-4 * i, dst) for i in range(reps)]
+    outs = [register_stack(variables, src_stack + 1e-4 * i, dst_stack)
+            for i in range(reps)]
     for o in outs:
         sync(o)
     dt = (time.perf_counter() - t0) / reps
-    pairs_per_s = batch_pairs / dt
+    pairs_per_s = batch_pairs * stack / dt
 
     print(json.dumps({
-        "metric": "registered scan-pairs/s/chip (1024-pt, feat+match+GNC)",
+        "metric": f"registered scan-pairs/s/chip ({n_points}-pt, "
+                  "feat+match+GNC)",
         "value": round(pairs_per_s, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / _baseline_pairs_per_s(), 3),

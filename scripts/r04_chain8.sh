@@ -8,10 +8,7 @@ cd /root/repo
 export JAX_PLATFORMS=axon
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
-for i in $(seq 1 360); do
-  [ -f "$LOG/DONE6" ] && break
-  sleep 15
-done
+sleep 80  # lease release after killing chain7
 P=/root/repo:/root/.axon_site
 run() {
   local name=$1 to=$2; shift 2
@@ -31,7 +28,7 @@ run() {
 #    sequence pipeline).  validate_flagship handles per-step subprocess
 #    timeouts itself.
 run battery 10800 env PYTHONPATH=$P python scripts/validate_flagship.py \
-  --ckpt checkpoints/mn40_sph_dg_r3 --name best_acc --round 4 --platform tpu
+  --ckpt checkpoints/mn40_sph_dg_r3 --name best_acc --round 4
 # 2. Equal-budget 40-epoch ranking (4 variants; the no-local ablation is
 #    dropped to fit the round's TPU budget).
 run rank40 14400 env PYTHONPATH=$P python scripts/rank_variants.py \
@@ -43,4 +40,4 @@ for v in sph_dg sph_pt; do
     --preset reg_icl_nuim_ransac_cu_dg --ckpt "checkpoints/rank_mn40_$v" \
     --best acc --methods ransac,ransac+pl "evaluate.batch_pairs=25"
 done
-touch "$LOG/DONE7"
+touch "$LOG/DONE8"

@@ -75,7 +75,8 @@ def register_pair(
         inlier_threshold=inlier_threshold, num_hypotheses=num_hypotheses)
 
 
-@partial(jax.jit, static_argnames=("method", "num_hypotheses"))
+@partial(jax.jit, static_argnames=("method", "num_hypotheses",
+                                   "irls_iterations", "irls_shrink"))
 def register_pair_from_matches(
     pts1: Array,
     pts2: Array,
@@ -87,6 +88,8 @@ def register_pair_from_matches(
     noise_bound: float = 0.02,
     inlier_threshold: float = 0.08,
     num_hypotheses: int = 512,
+    irls_iterations: int = 3,
+    irls_shrink: float = 1.0,
 ) -> tuple[Array, Array]:
     """Robust pose (+ optional dense refinement) from PRECOMPUTED putative
     correspondences (idx1, idx2, mask) — the entry point for callers that
@@ -113,7 +116,9 @@ def register_pair_from_matches(
             key = jax.random.PRNGKey(0)
         transform, inliers = ransac_pose(key, src, dst, mask,
                                          num_hypotheses=num_hypotheses,
-                                         inlier_threshold=inlier_threshold)
+                                         inlier_threshold=inlier_threshold,
+                                         irls_iterations=irls_iterations,
+                                         irls_shrink=irls_shrink)
     else:
         raise ValueError(
             f"unknown method {method!r}; expected one of {METHODS}")

@@ -22,7 +22,8 @@ from .kabsch import weighted_kabsch
 Array = jax.Array
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "sample_size"))
+@partial(jax.jit, static_argnames=("num_hypotheses", "sample_size",
+                                   "irls_iterations", "irls_shrink"))
 def ransac_pose(
     key: Array,
     src: Array,
@@ -32,6 +33,8 @@ def ransac_pose(
     sample_size: int = 3,
     inlier_threshold: float = 0.08,
     edge_similarity: float = 0.9,
+    irls_iterations: int = 3,
+    irls_shrink: float = 1.0,
 ) -> tuple[Array, Array]:
     """Robust SE(3) from putative correspondences.
 
@@ -94,7 +97,21 @@ def ransac_pose(
         w = jnp.where((u < 1.0) & valid, (1.0 - u**2) ** 2, 0.0)
         return weighted_kabsch(src, dst, w), None
 
-    refined, _ = jax.lax.scan(tukey_step, refined, None, length=3)
+    refined, _ = jax.lax.scan(tukey_step, refined, None,
+                              length=irls_iterations)
+    if irls_shrink != 1.0:
+        # Optional second IRLS phase with a tighter Tukey c: the
+        # redescending weight re-focused on the best-matched core polishes
+        # rotation once the wide-c phase has converged (sweepable knob for
+        # the ICL-NUIM RRE bound).
+        def tukey_tight(t, _):
+            moved = jnp.einsum("ij,nj->ni", t[:3, :3], src) + t[:3, 3]
+            r = jnp.linalg.norm(moved - dst, axis=-1)
+            u = r / (inlier_threshold * irls_shrink)
+            w = jnp.where((u < 1.0) & valid, (1.0 - u**2) ** 2, 0.0)
+            return weighted_kabsch(src, dst, w), None
+
+        refined, _ = jax.lax.scan(tukey_tight, refined, None, length=2)
     moved = jnp.einsum("ij,nj->ni", refined[:3, :3], src) + refined[:3, 3]
     final_inliers = (jnp.linalg.norm(moved - dst, axis=-1)
                      < inlier_threshold) & valid

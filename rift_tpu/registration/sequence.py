@@ -453,11 +453,16 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
         # by G's rotation, which inflated the metric by the gauge angle —
         # VALIDATION_r03's "mean step RRE 6.4°" was mostly that artifact
         # (the same edges measure ~0.2° against relative ground truth).
-        rre = se3.rotation_error_deg(
-            se3.rot_of(gt[:-1]).transpose(0, 2, 1) @ se3.rot_of(gt[1:]),
-            se3.rot_of(jnp.asarray(ba_poses)[:-1]).transpose(0, 2, 1)
-            @ se3.rot_of(jnp.asarray(ba_poses)[1:]))
-        metrics["mean_step_rre"] = float(jnp.mean(rre))
+        def step_rre(poses):
+            p = jnp.asarray(poses)
+            rre = se3.rotation_error_deg(
+                se3.rot_of(gt[:-1]).transpose(0, 2, 1) @ se3.rot_of(gt[1:]),
+                se3.rot_of(p[:-1]).transpose(0, 2, 1) @ se3.rot_of(p[1:]))
+            return float(jnp.mean(rre)), float(jnp.max(rre))
+
+        metrics["mean_step_rre"], metrics["max_step_rre"] = step_rre(ba_poses)
+        metrics["step_rre_odom"], _ = step_rre(odom)
+        metrics["step_rre_graph"], _ = step_rre(graph)
         # Unambiguous edge quality: estimated M_ij vs ground-truth relative.
         gt_rel = jnp.asarray(np.einsum(
             "eij,ejk->eik", np.linalg.inv(gt_poses[j_idx]),

@@ -99,6 +99,10 @@ class EvalConfig:
     noise_bound: float = 0.02
     inlier_threshold: float = 0.08
     num_hypotheses: int = 1000     # ref RANSAC max_iter=1000
+    # RANSAC post-refit Tukey IRLS depth and optional tighter-c second
+    # phase (registration/ransac.py; sweepable for the ICL RRE bound).
+    ransac_irls: int = 3
+    ransac_irls_shrink: float = 1.0
     # Batched eval: pairs per jitted dispatch (one vmapped program per batch;
     # the ref's per-pair loop `deepgmr_mn40.py:71-97` becomes ~2 dispatches
     # per 100 pairs). 1 reproduces per-pair dispatch behavior.

@@ -500,6 +500,8 @@ def evaluate_registration(config: ExperimentConfig, state=None,
     noise_bound = config.evaluate.noise_bound
     inlier_threshold = config.evaluate.inlier_threshold
     num_hypotheses = config.evaluate.num_hypotheses
+    irls_kw = dict(irls_iterations=config.evaluate.ransac_irls,
+                   irls_shrink=config.evaluate.ransac_irls_shrink)
     use_flips = (config.evaluate.flip_hypotheses
                  and model.rot_invariant_preprocess == "change_coords")
 
@@ -551,7 +553,7 @@ def evaluate_registration(config: ExperimentConfig, state=None,
             est, _ = register_pair_from_matches(
                 s, d, i1, i2, m, key=k, method=method,
                 noise_bound=noise_bound, inlier_threshold=inlier_threshold,
-                num_hypotheses=num_hypotheses)
+                num_hypotheses=num_hypotheses, **irls_kw)
             return est
 
         return jax.vmap(one)(src, dst, f_src_h, f_dst, keys)
@@ -621,6 +623,8 @@ def evaluate_registration_sweep(config: ExperimentConfig,
     noise_bound = config.evaluate.noise_bound
     inlier_threshold = config.evaluate.inlier_threshold
     num_hypotheses = config.evaluate.num_hypotheses
+    irls_kw = dict(irls_iterations=config.evaluate.ransac_irls,
+                   irls_shrink=config.evaluate.ransac_irls_shrink)
     use_flips = (config.evaluate.flip_hypotheses
                  and model.rot_invariant_preprocess == "change_coords")
 
@@ -660,7 +664,7 @@ def evaluate_registration_sweep(config: ExperimentConfig,
             est, _ = register_pair_from_matches(
                 s, d, a, b, m, key=k, method=method,
                 noise_bound=noise_bound, inlier_threshold=inlier_threshold,
-                num_hypotheses=num_hypotheses)
+                num_hypotheses=num_hypotheses, **irls_kw)
             return est
 
         return jax.vmap(one)(src, dst, i1, i2, mask, keys)

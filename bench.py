@@ -62,7 +62,11 @@ def main() -> None:
     model = PVCNNClassifier(
         blocks=((64, 1, 32), (128, 1, 32), (256, 1, None), (512, 1, None)),
         dim_k=512, is_classify=False,
-        point_kernel_formal="dgcnn_kernel", voxel_shape="spherical",
+        # dgcnn kernel = the r1-r4 bench series config; BENCH_KERNEL=pointnet
+        # measures the round-4 recommended flagship (RANKING_r04: sph_pt wins
+        # hard-tier cls AND icl registration, and skips the dgcnn gather).
+        point_kernel_formal=os.environ.get(
+            "BENCH_KERNEL", "dgcnn") + "_kernel", voxel_shape="spherical",
         rot_invariant_preprocess="change_coords", with_local_feat="ppf",
         extra_feature_channels=4, local_neighbors=128,
         with_coeff=True, with_se=True,

@@ -439,6 +439,13 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
             huber_delta=huber_delta, edges=edge_terms)
     ba_poses = np.asarray(ba_poses)
 
+    import os as _os
+
+    dump = _os.environ.get("RIFT_MAP_DUMP")
+    if dump:
+        np.savez(dump, measurements=measurements, i_idx=i_idx, j_idx=j_idx,
+                 edge_w=edge_w, odom=odom, graph=graph, ba=ba_poses,
+                 gt=(gt_poses if gt_poses is not None else np.zeros(0)))
     metrics = {"num_edges": float(len(i_idx)),
                "mean_edge_inliers": float(edge_w.mean())}
     if gt_poses is not None:

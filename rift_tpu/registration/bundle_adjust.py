@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import se3
+from ..ops.precision import f32_geometry
 
 Array = jax.Array
 
@@ -182,6 +183,7 @@ def _robust_cost(poses, landmarks, obs_pose, obs_local, huber_delta):
     return jnp.sum(cost) / jnp.maximum(jnp.sum(valid), 1)
 
 
+@f32_geometry
 @partial(jax.jit, static_argnames=("num_iterations", "huber_delta"))
 def bundle_adjust(poses: Array, landmarks: Array, obs_pose: Array,
                   obs_local: Array, num_iterations: int = 10,
@@ -235,6 +237,7 @@ def bundle_adjust(poses: Array, landmarks: Array, obs_pose: Array,
             jnp.where(keep, new_landmarks, landmarks))
 
 
+@f32_geometry
 def bundle_adjust_sharded(poses: Array, landmarks: Array, obs_pose: Array,
                           obs_local: Array, mesh, num_iterations: int = 10,
                           damping: float = 1e-4, axis: str = "data",

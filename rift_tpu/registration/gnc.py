@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from .kabsch import weighted_kabsch
+from ..ops.precision import f32_geometry
 
 Array = jax.Array
 
@@ -33,6 +34,7 @@ def _residuals(transform: Array, src: Array, dst: Array) -> Array:
     return jnp.linalg.norm(moved - dst, axis=-1)
 
 
+@f32_geometry
 @partial(jax.jit, static_argnames=("max_iterations", "kind", "early_exit"))
 def gnc_pose(
     src: Array,

@@ -22,10 +22,12 @@ import jax.numpy as jnp
 from ..ops.neighbors import pairwise_sqdist
 from ..ops.se3 import exp_so3
 from .kabsch import weighted_kabsch
+from ..ops.precision import f32_geometry
 
 Array = jax.Array
 
 
+@f32_geometry
 @partial(jax.jit, static_argnames=("max_iterations",))
 def icp_pose(
     src: Array,
@@ -58,6 +60,7 @@ def icp_pose(
     return out
 
 
+@f32_geometry
 @partial(jax.jit, static_argnames=("max_iterations",))
 def icp_plane_pose(
     src: Array,

@@ -10,6 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.precision import f32_geometry
+
 from ..ops import se3
 
 Array = jax.Array
@@ -41,6 +43,7 @@ def rpmnet_metrics(points_src: Array, points_ref: Array, gt_transform: Array,
     }
 
 
+@f32_geometry
 def pair_errors(points: Array, gt_transform: Array, est_transform: Array) -> dict:
     """points [..., n, 3]; transforms [..., 4, 4] -> dict of [...]-shaped
     metrics: rre (deg), rte, rmse, succ, rmse_succ."""

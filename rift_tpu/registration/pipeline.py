@@ -18,6 +18,7 @@ from ..ops.neighbors import mutual_nearest_neighbors
 from .gnc import gnc_pose
 from .icp import icp_plane_pose, icp_pose
 from .ransac import ransac_pose
+from ..ops.precision import f32_geometry
 
 Array = jax.Array
 
@@ -27,6 +28,7 @@ METHODS = ("ransac", "fgr", "teaserpp", "icp",
            "ransac+pl", "fgr+pl", "teaserpp+pl")
 
 
+@f32_geometry
 @partial(jax.jit, static_argnames=("method", "num_hypotheses"))
 def register_pair(
     pts1: Array,
@@ -77,6 +79,7 @@ def register_pair(
 
 @partial(jax.jit, static_argnames=("method", "num_hypotheses",
                                    "irls_iterations", "irls_shrink"))
+@f32_geometry
 def register_pair_from_matches(
     pts1: Array,
     pts2: Array,

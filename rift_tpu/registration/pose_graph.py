@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import se3
+from ..ops.precision import f32_geometry
 
 Array = jax.Array
 
@@ -69,6 +70,7 @@ def _assemble(poses, i_idx, j_idx, meas_inv, weights, num_nodes):
     return h, b.reshape(n6)
 
 
+@f32_geometry
 @partial(jax.jit, static_argnames=("num_iterations",))
 def optimize_pose_graph(poses: Array, i_idx: Array, j_idx: Array,
                         measurements: Array, weights: Array | None = None,
@@ -99,6 +101,7 @@ def optimize_pose_graph(poses: Array, i_idx: Array, j_idx: Array,
     return poses
 
 
+@f32_geometry
 def optimize_pose_graph_sharded(poses: Array, i_idx: Array, j_idx: Array,
                                 measurements: Array, weights: Array,
                                 mesh, num_iterations: int = 10,

@@ -18,12 +18,14 @@ import jax
 import jax.numpy as jnp
 
 from .kabsch import weighted_kabsch
+from ..ops.precision import f32_geometry
 
 Array = jax.Array
 
 
 @partial(jax.jit, static_argnames=("num_hypotheses", "sample_size",
                                    "irls_iterations", "irls_shrink"))
+@f32_geometry
 def ransac_pose(
     key: Array,
     src: Array,

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import se3
+from ..ops.precision import f32_geometry
 from ..ops.neighbors import mutual_nearest_neighbors
 from .bundle_adjust import bundle_adjust, bundle_adjust_sharded
 from .gnc import gnc_pose
@@ -121,6 +122,7 @@ def register_edges(scans: Array, features: Array, i_idx: np.ndarray,
     use_gate = priors is not None and spatial_gate is not None
 
     @jax.jit
+    @f32_geometry
     def run_batch(src, dst, fs, fd, keys, fs_h=None, prior=None):
         def one(s, d, f1, f2, k, f1_h=None, pr=None):
             sv = None
@@ -212,6 +214,7 @@ def refresh_correspondences(scans: Array, i_idx: np.ndarray,
     Returns (corr_idx2 [E, n] int32, corr_w [E, n] float, edge_w [E]).
     """
     @jax.jit
+    @f32_geometry
     def run(src, dst, m):
         def one(s, d, t):
             sp = s @ t[:3, :3].T + t[:3, 3]

@@ -258,7 +258,11 @@ def write_summary(results: list[dict], ckpt: str, rnd: int,
             f"| bundle adjust | {m.get('ate_ba', float('nan')):.4f} |",
             "",
             f"mean edge inliers: {m.get('mean_edge_inliers', float('nan')):.3f}"
-            f" · mean step RRE: {m.get('mean_step_rre', float('nan')):.3f} deg",
+            f" · mean edge RRE: {m.get('mean_edge_rre', float('nan')):.3f} deg"
+            f" · step RRE (odom/graph/BA): "
+            f"{m.get('step_rre_odom', float('nan')):.3f} / "
+            f"{m.get('step_rre_graph', float('nan')):.3f} / "
+            f"{m.get('mean_step_rre', float('nan')):.3f} deg",
             "",
         ]
     with open(path, "w") as f:

@@ -198,8 +198,23 @@ def uniform_2_sphere(key: Array, dtype=jnp.float32) -> Array:
     return jnp.stack([sin_theta * jnp.cos(phi), sin_theta * jnp.sin(phi), cos_theta])
 
 
-def rotation_error_deg(gt_rot: Array, est_rot: Array) -> Array:
-    """RRE in degrees: acos((tr(RgᵀRe)-1)/2) (ref: deepgmr_mn40.py:152-164)."""
+def rotation_error_deg(gt_rot: Array, est_rot: Array,
+                       orthonormalize: bool = False) -> Array:
+    """RRE in degrees: acos((tr(RgᵀRe)-1)/2) (ref: deepgmr_mn40.py:152-164).
+
+    `orthonormalize` polar-projects both inputs onto SO(3) first. The trace
+    formula silently MISREADS non-orthogonality: for R·(I+E), tr < 3 reads
+    as a rotation (a 5e-3 ‖E‖ reads ~6°) while tr(E) > 0 CLIPS to 0° —
+    measured on round-4 map chains where bf16-precision pose products left
+    ~5e-3 non-orthogonal rotations (BENCH_NOTES/ops/precision.py). Chained
+    trajectory metrics should pass True; single-pair RRE keeps the
+    reference's raw formula (solver outputs are Kabsch-exact rotations).
+    """
+    if orthonormalize:
+        from ..registration.kabsch import rotation_from_h
+
+        gt_rot = rotation_from_h(gt_rot)
+        est_rot = rotation_from_h(est_rot)
     cos = (jnp.trace(jnp.matmul(jnp.swapaxes(gt_rot, -1, -2), est_rot, precision=_HI), axis1=-2, axis2=-1) - 1.0) / 2.0
     cos = jnp.clip(cos, -1.0, 1.0)
     return jnp.degrees(jnp.abs(jnp.arccos(cos)))

@@ -467,7 +467,8 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
             p = jnp.asarray(poses)
             rre = se3.rotation_error_deg(
                 se3.rot_of(gt[:-1]).transpose(0, 2, 1) @ se3.rot_of(gt[1:]),
-                se3.rot_of(p[:-1]).transpose(0, 2, 1) @ se3.rot_of(p[1:]))
+                se3.rot_of(p[:-1]).transpose(0, 2, 1) @ se3.rot_of(p[1:]),
+                orthonormalize=True)
             return float(jnp.mean(rre)), float(jnp.max(rre))
 
         metrics["mean_step_rre"], metrics["max_step_rre"] = step_rre(ba_poses)
@@ -478,7 +479,8 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
             "eij,ejk->eik", np.linalg.inv(gt_poses[j_idx]),
             gt_poses[i_idx]).astype(np.float32))
         edge_rre = se3.rotation_error_deg(
-            se3.rot_of(gt_rel), se3.rot_of(jnp.asarray(measurements)))
+            se3.rot_of(gt_rel), se3.rot_of(jnp.asarray(measurements)),
+            orthonormalize=True)
         metrics["mean_edge_rre"] = float(jnp.mean(edge_rre))
     return SequenceResult(odometry=odom, graph=graph, ba=ba_poses,
                           edges=(i_idx, j_idx), measurements=measurements,

@@ -188,11 +188,13 @@ def presets() -> dict[str, ExperimentConfig]:
                 suffix = "cu_dg" if kn == "dgcnn_kernel" else "cu_pt"
                 cfg.name = f"reg_{mode}_{method}_{suffix}"
                 out[cfg.name] = cfg
-    # Recommended ICL-NUIM preset: plain 'ransac' is the measured RRE winner
-    # on the adjacent-scan battery (VALIDATION_r04: ransac 0.529 vs
-    # teaserpp 2.78, +pl 1.94, +picp 1.79 deg) — this alias IS the shipped
-    # default whose method meets the BASELINE bound (VERDICT r3 #3).
-    icl = _registration("ransac", "icl_nuim", "cube", "dgcnn_kernel")
+    # Recommended ICL-NUIM preset (VERDICT r3 #3): 'ransac+picp' is the
+    # measured winner on the adjacent-scan battery once pose math runs at
+    # f32 precision (ops/precision.py): VALIDATION_r04 icl row
+    # RRE 0.149 deg / RTE 0.0021 vs plain ransac 0.622/0.0069 and the
+    # BASELINE bound 0.52/0.021 — the '+picp' rotation pathology seen in
+    # r3 was bf16 pose-product noise, not the refiner.
+    icl = _registration("ransac+picp", "icl_nuim", "cube", "dgcnn_kernel")
     icl.name = "reg_icl_nuim"
     out[icl.name] = icl
     # ShapeNet part segmentation (ref: configs/shapenet/pvcnn + rot_with_ppf)

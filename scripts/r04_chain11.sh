@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-4 chain #11 (final): map battery row with the orthonormalized
+# metrics (+ dump), closing default bench.
+set -u
+LOG=/tmp/r04_chain
+cd /root/repo
+export JAX_PLATFORMS=axon
+export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
+for i in $(seq 1 240); do
+  [ -f "$LOG/DONE10" ] && break
+  sleep 15
+done
+P=/root/repo:/root/.axon_site
+run() {
+  local name=$1 to=$2; shift 2
+  echo "=== $name start $(date +%T)" >> "$LOG/chain.log"
+  timeout "$to" "$@" > "$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc $(date +%T)" >> "$LOG/chain.log"
+  if [ $rc -ne 0 ]; then
+    sleep 75
+    timeout "$to" "$@" > "$LOG/$name.retry.log" 2>&1
+    echo "=== $name retry rc=$? $(date +%T)" >> "$LOG/chain.log"
+  fi
+  sleep 20
+}
+run map_final 2400 env PYTHONPATH=$P RIFT_MAP_DUMP=/tmp/map_dump_pt.npz \
+  python scripts/validate_flagship.py --ckpt checkpoints/mn40_sph_pt_r4 \
+  --name best_acc --round 4 --steps map
+run bench_final 1800 env PYTHONPATH=$P python bench.py
+touch "$LOG/DONE11"

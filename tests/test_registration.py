@@ -270,3 +270,45 @@ def test_gnc_tls_scan_toggle_matches_while_loop(rng):
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(w_while) > 0.5,
                                   np.asarray(w_scan) > 0.5)
+
+
+def test_f32_geometry_context_applies():
+    """Solver entry points run under HIGHEST matmul precision (the TPU
+    default feeds bf16 into pose products — ops/precision.py)."""
+    import jax
+
+    from rift_tpu.ops.precision import f32_geometry
+
+    @f32_geometry
+    def probe():
+        return jax.config.jax_default_matmul_precision
+
+    assert probe() == "highest"
+
+
+def test_solver_outputs_are_orthogonal_rotations(rng):
+    """Every estimator + composite must emit R in SO(3) to fp accuracy:
+    non-orthogonal pose products were the round-4 root cause of chained
+    trajectory-metric distortion (transpose-as-inverse amplifies ||RtR-I||
+    with chain length)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rift_tpu.registration.pipeline import register_pair_from_matches
+
+    src = jnp.asarray(rng.randn(128, 3).astype(np.float32) * 0.4)
+    a = rng.randn(3); a /= np.linalg.norm(a)
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    R = (np.eye(3) + np.sin(0.7) * K + (1 - np.cos(0.7)) * K @ K
+         ).astype(np.float32)
+    dst = src @ R.T + jnp.asarray(rng.randn(128, 3).astype(np.float32)) * 0.01
+    idx = jnp.arange(128, dtype=jnp.int32)
+    for method in ("teaserpp", "ransac", "fgr", "ransac+picp", "ransac+pl",
+                   "teaserpp+icp"):
+        T, _ = register_pair_from_matches(
+            src, dst, idx, idx, jnp.ones(128, bool),
+            key=jax.random.PRNGKey(0), method=method, num_hypotheses=64,
+            noise_bound=0.05)
+        Rm = np.asarray(T)[:3, :3]
+        assert np.abs(Rm.T @ Rm - np.eye(3)).max() < 1e-5, method
+        assert abs(np.linalg.det(Rm) - 1.0) < 1e-5, method

@@ -29,7 +29,8 @@ METHODS = ("ransac", "fgr", "teaserpp", "icp",
 
 
 @f32_geometry
-@partial(jax.jit, static_argnames=("method", "num_hypotheses"))
+@partial(jax.jit, static_argnames=("method", "num_hypotheses",
+                                   "irls_iterations", "irls_shrink"))
 def register_pair(
     pts1: Array,
     pts2: Array,
@@ -40,6 +41,8 @@ def register_pair(
     noise_bound: float = 0.02,
     inlier_threshold: float = 0.08,
     num_hypotheses: int = 512,
+    irls_iterations: int = 3,
+    irls_shrink: float = 1.0,
 ) -> tuple[Array, Array]:
     """One pair: pts [n, 3], feats [n, c] -> (transform [4, 4] mapping
     pts1 -> pts2, correspondence-inlier mask [n]).
@@ -74,7 +77,8 @@ def register_pair(
     return register_pair_from_matches(
         pts1, pts2, idx1, idx2, mask, key=key,
         method=method + (refine or ""), noise_bound=noise_bound,
-        inlier_threshold=inlier_threshold, num_hypotheses=num_hypotheses)
+        inlier_threshold=inlier_threshold, num_hypotheses=num_hypotheses,
+        irls_iterations=irls_iterations, irls_shrink=irls_shrink)
 
 
 @partial(jax.jit, static_argnames=("method", "num_hypotheses",

@@ -521,7 +521,7 @@ def evaluate_registration(config: ExperimentConfig, state=None,
                     s, d, fs, fd, key=k, method=method,
                     noise_bound=noise_bound,
                     inlier_threshold=inlier_threshold,
-                    num_hypotheses=num_hypotheses)
+                    num_hypotheses=num_hypotheses, **irls_kw)
                 return est
 
             return jax.vmap(one)(src, dst, f_src, f_dst, keys)

@@ -54,3 +54,23 @@ def test_registration_rmse_zero_for_equal_transforms(rng):
     t = se3.random_rotation(jax.random.PRNGKey(3))
     t2 = jnp.stack([t, t])
     assert float(jnp.max(se3.registration_rmse(pts, t2, t2))) < 1e-6
+
+
+def test_rotation_error_orthonormalize_fixes_trace_distortion(rng):
+    """The raw trace formula misreads non-orthogonality (round-4 finding):
+    R(I+E) with tr(E)<0 reads degrees of phantom rotation; with tr(E)>0 it
+    clips real error to 0. The orthonormalize flag polar-projects first."""
+    import jax.numpy as jnp
+
+    from rift_tpu.ops.se3 import rotation_error_deg
+
+    a = rng.randn(3); a /= np.linalg.norm(a)
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    R = (np.eye(3) + np.sin(0.5) * K + (1 - np.cos(0.5)) * K @ K
+         ).astype(np.float32)
+    shrink = (R * (1.0 - 2e-3)).astype(np.float32)   # tr(E) < 0
+    raw = float(rotation_error_deg(jnp.asarray(R), jnp.asarray(shrink)))
+    fixed = float(rotation_error_deg(jnp.asarray(R), jnp.asarray(shrink),
+                                     orthonormalize=True))
+    assert raw > 1.0          # phantom degrees from pure scaling
+    assert fixed < 1e-2       # same rotation after polar projection

@@ -197,7 +197,15 @@ class PVCNNClassifier(nn.Module):
                 # duplicate-padded rows.
                 import os as _os
 
-                if (self._dtype == jnp.bfloat16
+                import jax as _jax
+
+                # Backend/size gate mirrors ball_query_group's: the fused
+                # path's [n, u, n] selector relies on TPU producer fusion;
+                # materialized on CPU at flagship shapes it would be ~34 GB.
+                n_pts = coords.shape[-2]
+                fast_ok = (_jax.default_backend() == "tpu"
+                           or n_pts * n_pts * self.local_neighbors <= 2**24)
+                if (self._dtype == jnp.bfloat16 and fast_ok
                         and _os.environ.get("RIFT_FAST_LOCAL_PPF", "1") != "0"):
                     # bf16 fuser: the fused channel-map path produces the
                     # same bf16 MLP inputs (up to one f32 reassociation)

@@ -135,24 +135,13 @@ def local_ppf_grouped_fast(coords: Array, normals: Array, radius: float,
 
     Returns (feats bf16 [..., n, k, 4], slot_valid bool [..., n, k]).
     """
-    from .neighbors import pairwise_sqdist
+    from .neighbors import ball_slot_select, pairwise_sqdist
 
     u = num_neighbors
     n = coords.shape[-2]
     d2 = pairwise_sqdist(coords, coords)
-    valid = (d2 < radius * radius) & (d2 > 1e-5)
-    tri = jnp.tril(jnp.ones((n, n), jnp.bfloat16), -1)
-    rank = jax.lax.dot_general(
-        valid.astype(jnp.bfloat16), tri, (((valid.ndim - 1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    keep = valid & (rank < u)
-    vi = valid.astype(jnp.int32)
-    cnt = jnp.sum(vi, axis=-1)
-    nearest = jnp.argmin(d2, axis=-1)
+    sel, slot, cnt = ball_slot_select(d2, radius, u, rank_impl="matmul")
     arange_n = jnp.arange(n, dtype=jnp.int32)
-    fallback = (cnt == 0)[..., None] & (arange_n == nearest[..., None])
-    sel = keep | fallback
-    slot = jnp.where(keep, rank, 0)
     s_iota = jnp.arange(u, dtype=jnp.int32)
 
     # Dot-product maps: M[a, b] = n_a · p_b, NN[a, b] = n_a · n_b.

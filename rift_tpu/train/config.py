@@ -75,10 +75,12 @@ class TrainConfig:
     # nn.DataParallel wrap, train.py:116-117). Auto-on when >1 device and
     # batch_size divides the device count; False forces single-device.
     data_parallel: bool = True
-    # Every K epochs, register a small synthetic pair battery with the
-    # current trunk and track rre/rte/succ as best-able metrics — surfaces
-    # feature-quality regressions during training instead of at battery
-    # time. 0 = off (default: the probe costs one extra compile).
+    # At every valid epoch whose (epoch+1) is divisible by K, register a
+    # small synthetic pair battery with the current trunk and track
+    # rre/rte/succ as best-able metrics — surfaces feature-quality
+    # regressions during training instead of at battery time. Runs inside
+    # the valid_interval gate, so effective cadence is the LCM of the two
+    # intervals. 0 = off (default: the probe costs one extra compile).
     reg_probe_interval: int = 0
     reg_probe_pairs: int = 16
 

@@ -147,22 +147,30 @@ def registration_probe(state, config: ExperimentConfig,
     src, dst = jnp.asarray(batch.source), jnp.asarray(batch.target)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    @jax.jit
-    def probe(variables, src, dst):
-        clouds = jnp.concatenate([src, dst], 0)
-        x = jnp.concatenate([clouds, estimate_normals(clouds)], -1)
-        feats = probe_model.apply(variables, x, train=False)
-        b = src.shape[0]
+    # Cache the jitted probe across epochs: a fresh closure per call would
+    # retrace (and, through the remote-compile tunnel, recompile) the whole
+    # extractor forward at every probe epoch.
+    cache_key = (str(mcfg), n, num_pairs, config.evaluate.noise_bound)
+    cached = registration_probe.__dict__.setdefault("_cache", {})
+    if cache_key not in cached:
+        noise_bound = config.evaluate.noise_bound
 
-        def one(s, d, fs, fd):
-            i1, i2, m = mutual_nearest_neighbors(fs, fd)
-            t, _ = gnc_pose(s[i1], d[i2], m,
-                            noise_bound=config.evaluate.noise_bound)
-            return t
+        @jax.jit
+        def probe(variables, src, dst):
+            clouds = jnp.concatenate([src, dst], 0)
+            x = jnp.concatenate([clouds, estimate_normals(clouds)], -1)
+            feats = probe_model.apply(variables, x, train=False)
+            b = src.shape[0]
 
-        return jax.vmap(one)(src, dst, feats[:b], feats[b:])
+            def one(s, d, fs, fd):
+                i1, i2, m = mutual_nearest_neighbors(fs, fd)
+                t, _ = gnc_pose(s[i1], d[i2], m, noise_bound=noise_bound)
+                return t
 
-    est = probe(variables, src, dst)
+            return jax.vmap(one)(src, dst, feats[:b], feats[b:])
+
+        cached[cache_key] = probe
+    est = cached[cache_key](variables, src, dst)
     errors = pair_errors(src, jnp.asarray(batch.transform), est)
     meter = MeterRegistration()
     meter.update(jax.tree_util.tree_map(np.asarray, errors))
@@ -214,6 +222,7 @@ def train(config: ExperimentConfig, resume: bool = True,
 
         state = replicate(mesh, state)
         rng = replicate(mesh, rng)
+    loss = float("nan")  # resumed-complete runs skip the loop entirely
     for epoch in range(start_epoch, config.optim.num_epochs):
         t0 = time.time()
         losses = []

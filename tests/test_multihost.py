@@ -101,7 +101,6 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_two_process_distributed_train_step_and_matching(tmp_path):
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"

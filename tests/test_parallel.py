@@ -27,14 +27,12 @@ def test_sharded_mutual_nn_matches_single_device(rng):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_train_dp_matches_single_device_oracle(tmp_path):
     """Mesh-DP training through the PRODUCTION train() path equals the
@@ -62,7 +60,6 @@ def test_train_dp_matches_single_device_oracle(tmp_path):
     assert abs(single["best"]["acc"] - dp["best"]["acc"]) < 1e-6
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_dp_single_step_equivalence(tmp_path):
     """ONE step sharded vs single-device from identical init: loss, acc and

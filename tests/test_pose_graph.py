@@ -134,7 +134,6 @@ def test_bundle_adjust_converges(rng):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_bundle_adjust_sharded_matches_single(rng):
     gt_poses, gt_lms, obs_pose, obs_local = _make_ba_problem(rng, noise=0.01)
     init_lms = gt_lms + rng.randn(*gt_lms.shape).astype(np.float32) * 0.05

@@ -77,7 +77,6 @@ def test_map_sequence_oracle_features_monotonic_ate():
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_map_sequence_sharded_matches_single():
     """Edge-sharded pose graph + landmark-sharded BA on the 8-device CPU
     mesh reproduce the single-device result (psum reassociation only)."""

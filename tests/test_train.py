@@ -62,7 +62,6 @@ def test_registration_eval_smoke(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_evaluate_with_trained_checkpoint(tmp_path):
     """Round trip (VERDICT r1 item 2): train tiny -> save -> evaluate loads
     the TRAINED params (differ from a fresh init) and the snapshot arch.
@@ -174,7 +173,6 @@ def test_batched_eval_matches_per_pair(tmp_path):
                                    atol=1e-5, err_msg=key)
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_multimetric_best_tracking(tmp_path):
     """Meter-registry semantics (ref train.py:176-200): several registered

@@ -199,6 +199,15 @@ def presets() -> dict[str, ExperimentConfig]:
     icl = _registration("ransac+picp", "icl_nuim", "cube", "dgcnn_kernel")
     icl.name = "reg_icl_nuim"
     out[icl.name] = icl
+    # Same for the object modes: 'ransac+picp' is the measured best (or
+    # tied-best) RRE+RTE combination on every mode in VALIDATION_r04
+    # (clean 0.062/0.0004, noise 0.310/0.0020, partial 0.340/0.0021) —
+    # `reg_<mode>` is the preset a user should reach for; the
+    # `reg_<mode>_<method>_*` tree remains the reference-parity sweep.
+    for mode in ("clean", "noise", "partial"):
+        best = _registration("ransac+picp", mode, "cube", "dgcnn_kernel")
+        best.name = f"reg_{mode}"
+        out[best.name] = best
     # ShapeNet part segmentation (ref: configs/shapenet/pvcnn + rot_with_ppf)
     seg = ExperimentConfig(name="shapenet_seg")
     seg.model.num_classes = 50

@@ -1,6 +1,6 @@
 # Test entry points (VERDICT r3 #8).
 # test-fast: default subset (slow-marked tests deselected via pyproject
-#            addopts), green in ~5 min on the 2-CPU reference host.
+#            addopts), green in ~7 min on the 2-CPU reference host.
 # test-full: the whole suite incl. multi-process/sharded oracles (~18 min).
 PY ?= python
 

@@ -85,8 +85,12 @@ def test_map_sequence_sharded_matches_single():
     seq = SyntheticSequence(SequenceConfig(num_scans=12, num_points=256,
                                            scene_points=4096, seed=4))
     feats = _oracle_features(seq)
+    # gate_rounds=0: the sharded-vs-single equivalence doesn't exercise the
+    # prior-gated re-matching, and the extra registration pass + graph
+    # solve were doubling this test's compile-dominated runtime.
     kwargs = dict(gt_poses=seq.gt_poses, noise_bound=0.08, loop_stride=4,
-                  landmarks_per_edge=16, batch_edges=8, seed=0)
+                  landmarks_per_edge=16, batch_edges=8, seed=0,
+                  gate_rounds=0)
     single = map_sequence(seq.scans, feats, **kwargs)
     mesh = make_mesh()
     sharded = map_sequence(seq.scans, feats, mesh=mesh, **kwargs)

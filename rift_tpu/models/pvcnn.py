@@ -12,10 +12,17 @@ what XLA tiles best on TPU.
 """
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+# Process-start-only A/B toggle (RIFT_FAST_LOCAL_PPF=0 -> gathered path).
+# Read once at import: the flag is consumed inside a traced __call__, so a
+# mid-process env change would silently hit the jit cache anyway — pinning
+# it at import makes the process-start-only semantics explicit.
+_FAST_LOCAL_PPF = os.environ.get("RIFT_FAST_LOCAL_PPF", "1") != "0"
 
 from ..ops.fpfh import fpfh
 from ..ops.lrf import change_coords, global_lrf, local_lrf, lrf_basis, pca_align
@@ -195,8 +202,6 @@ class PVCNNClassifier(nn.Module):
                 # zero-padded slots are masked out of the max. Training keeps
                 # the reference composition so BatchNorm sees the reference's
                 # duplicate-padded rows.
-                import os as _os
-
                 import jax as _jax
 
                 # Backend/size gate mirrors ball_query_group's: the fused
@@ -205,13 +210,13 @@ class PVCNNClassifier(nn.Module):
                 n_pts = coords.shape[-2]
                 fast_ok = (_jax.default_backend() == "tpu"
                            or n_pts * n_pts * self.local_neighbors <= 2**24)
-                if (self._dtype == jnp.bfloat16 and fast_ok
-                        and _os.environ.get("RIFT_FAST_LOCAL_PPF", "1") != "0"):
+                if self._dtype == jnp.bfloat16 and fast_ok and _FAST_LOCAL_PPF:
                     # bf16 fuser: the fused channel-map path produces the
                     # same bf16 MLP inputs (up to one f32 reassociation)
                     # with ~2.5x less selector-contraction work
-                    # (ops/ppf.py:local_ppf_grouped_fast). Env toggle for
-                    # A/B timing (RIFT_FAST_LOCAL_PPF=0 -> shipped path).
+                    # (ops/ppf.py:local_ppf_grouped_fast). A/B toggle
+                    # _FAST_LOCAL_PPF is pinned at import (process-start
+                    # only — see module header).
                     from ..ops.ppf import local_ppf_grouped_fast
 
                     feats, slot_ok = local_ppf_grouped_fast(

@@ -323,7 +323,7 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
                  min_edge_inliers: float = 0.05,
                  flip_features: np.ndarray | None = None,
                  edge_anchor: float = 8.0,
-                 spatial_gate: float | None = 0.3,
+                 spatial_gate: float | None | str = "auto",
                  gate_rounds: int = 1
                  ) -> SequenceResult:
     """Full sequence pipeline; pass `mesh` to run the pose-graph and BA
@@ -337,6 +337,13 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
     improves guard — together these keep mostly-wrong correspondence sets
     from making the trajectory worse than the pose-graph input."""
     num_scans = scans.shape[0]
+    if spatial_gate == "auto":
+        # Scale-aware default: 15x the noise bound (= the validated 0.3 at
+        # the default noise_bound 0.02). An absolute gate is either a
+        # silent no-op or excludes everything on sequences at a different
+        # metric scale — deriving it from noise_bound (itself in scene
+        # units) keeps the gate meaningful at any scale.
+        spatial_gate = 15.0 * noise_bound
     i_idx, j_idx = build_edges(num_scans, loop_stride)
     flips = (jnp.asarray(flip_features)
              if flip_features is not None else None)

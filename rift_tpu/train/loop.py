@@ -86,13 +86,20 @@ def make_distributed_step(train_step, data_parallel: bool = True,
 
 # Metric keys where smaller is better (registration errors, losses); all
 # other keys follow the reference's higher-is-better rule (train.py:176-200).
-_LOWER_BETTER = {"rre", "rte", "rmse", "reg_time", "loss", "logit_drift"}
+# Includes every error key the meters can emit: MeterRegistration/pair_errors
+# ('rmse_succ') and MeterRPMNet (r_mse..chamfer).
+_LOWER_BETTER = {
+    "rre", "rte", "rmse", "rmse_succ", "reg_time", "loss", "logit_drift",
+    "r_mse", "r_mae", "t_mse", "t_mae", "err_r_deg", "err_t", "chamfer",
+}
 
 
 def _improved(key: str, new: float, old) -> bool:
+    """Strict improvement only — a tie (e.g. reg_time pinned at 0.0 in the
+    probe) must not re-save the checkpoint every epoch."""
     if old is None:
         return True
-    return new <= old if key in _LOWER_BETTER else new >= old
+    return new < old if key in _LOWER_BETTER else new > old
 
 
 def update_best(best: dict, results: dict, ckpt, state, config, log) -> None:

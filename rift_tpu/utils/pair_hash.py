@@ -13,12 +13,22 @@ import numpy as np
 
 
 def hash_rows(arr: np.ndarray, seed: int) -> np.ndarray:
-    """Polynomial row hash: sum_d arr[:, d] * seed**d (ref `_hash`)."""
+    """Polynomial row hash: sum_d arr[:, d] * seed**d (ref `_hash`).
+
+    Computed in uint64 with intentional modular wraparound: with large
+    seeds (filter_intersection uses 1_000_003) seed**k overflows 64 bits
+    for row widths D >= 4; modular arithmetic keeps the hash well-defined
+    (equal rows always hash equal; collisions are resolved by the exact
+    row check in `filter_intersection`)."""
     arr = np.asarray(arr)
     n, d = arr.shape
-    out = np.zeros(n, dtype=np.int64)
-    for k in range(d):
-        out += arr[:, k].astype(np.int64) * np.int64(seed) ** k
+    out = np.zeros(n, dtype=np.uint64)
+    power = np.uint64(1)
+    seed_u = np.uint64(np.int64(seed))
+    with np.errstate(over="ignore"):
+        for k in range(d):
+            out += arr[:, k].astype(np.int64).astype(np.uint64) * power
+            power = power * seed_u
     return out
 
 

@@ -153,3 +153,63 @@ def test_seg_training_dp_smoke(tmp_path):
     sn = ShapeNetConfig(num_points=64, synthetic_items={"train": 16, "test": 8})
     out = train_segmentation(cfg, shapenet_config=sn, resume=False)
     assert "iou" in out["best"]
+
+
+def test_ply_pcd_read_roundtrip(tmp_path, rng):
+    from rift_tpu.utils.pair_hash import hash_rows
+    from rift_tpu.utils.visualize import read_pcd_ply
+
+    pts = rng.randn(37, 3).astype(np.float32)
+    colors = rng.randint(0, 256, (37, 3)).astype(np.uint8)
+    ply = str(tmp_path / "cloud.ply")
+    save_pcd_ply(ply, pts, colors=colors)
+    rpts, rcol = read_pcd_ply(ply)
+    np.testing.assert_allclose(rpts, pts, atol=1e-5)
+    np.testing.assert_array_equal(rcol, colors)
+
+    # binary PLY
+    bply = str(tmp_path / "cloud_bin.ply")
+    with open(bply, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(b"element vertex %d\n" % len(pts))
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(b"end_header\n")
+        f.write(pts.astype("<f4").tobytes())
+    rpts, rcol = read_pcd_ply(bply)
+    np.testing.assert_allclose(rpts, pts, atol=0)
+    assert rcol is None
+
+    # ASCII PCD with packed rgb
+    pcd = str(tmp_path / "cloud.pcd")
+    packed = (
+        (colors[:, 0].astype(np.uint32) << 16)
+        | (colors[:, 1].astype(np.uint32) << 8)
+        | colors[:, 2].astype(np.uint32)
+    ).view(np.float32)
+    with open(pcd, "w") as f:
+        f.write("# .PCD v0.7\nVERSION 0.7\nFIELDS x y z rgb\n")
+        f.write("SIZE 4 4 4 4\nTYPE F F F F\nCOUNT 1 1 1 1\n")
+        f.write(f"WIDTH {len(pts)}\nHEIGHT 1\nPOINTS {len(pts)}\nDATA ascii\n")
+        for p, c in zip(pts, packed):
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {c:.9e}\n")
+    rpts, rcol = read_pcd_ply(pcd)
+    np.testing.assert_allclose(rpts, pts, atol=1e-4)
+    np.testing.assert_array_equal(rcol, colors)
+
+    # wide-row hashing no longer overflows int64 semantics (uint64 wrap)
+    wide = rng.randint(0, 1000, (8, 6))
+    h = hash_rows(wide, 1_000_003)
+    assert h.dtype == np.uint64
+    assert len(np.unique(hash_rows(np.unique(wide, axis=0), 1_000_003))) >= 1
+
+
+def test_update_best_strict_and_lower_better():
+    from rift_tpu.train.loop import _LOWER_BETTER, _improved
+
+    for key in ("rmse_succ", "r_mse", "err_r_deg", "chamfer"):
+        assert key in _LOWER_BETTER
+        assert _improved(key, 0.5, 1.0)
+        assert not _improved(key, 1.0, 0.5)
+        assert not _improved(key, 0.5, 0.5)  # ties don't re-save
+    assert _improved("accuracy", 0.9, 0.8)
+    assert not _improved("accuracy", 0.8, 0.8)

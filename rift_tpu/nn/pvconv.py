@@ -24,13 +24,19 @@ from ..ops.pallas.spherical_fast import (
     spherical_trilinear_devoxelize_fast,
 )
 from ..ops.spherical import spherical_avg_voxelize, spherical_trilinear_devoxelize
-from ..ops.voxelize import avg_voxelize, trilinear_devoxelize
+from ..ops.voxelize import (
+    avg_voxelize,
+    avg_voxelize_fast,
+    trilinear_devoxelize,
+    trilinear_devoxelize_fast,
+)
 from .shared_mlp import SharedMLP
 
 
 def _use_pallas(impl: str, resolution: int) -> bool:
-    """'auto': MXU one-hot kernels on TPU when r³ fits the tile grid;
-    XLA scatter everywhere else (interpret-mode Pallas would crawl on CPU)."""
+    """'auto': factorized MXU vox/devox contractions on TPU (see
+    ops/factored_vox.py); XLA scatter / row-gather everywhere else (the
+    reference path, also the CPU test oracle)."""
     r3 = resolution**3
     if impl == "pallas":
         return r3 % 512 == 0
@@ -92,7 +98,8 @@ class PVConv(nn.Module):
 
         fast = _use_pallas(self.impl, r)
         if self.voxel_shape == "cube":
-            grid, inds, grid_coords = avg_voxelize(
+            cube_vox = avg_voxelize_fast if fast else avg_voxelize
+            grid, inds, grid_coords = cube_vox(
                 features, coords, r, normalize=self.normalize, eps=self.eps
             )
         elif self.voxel_shape == "spherical":
@@ -115,7 +122,9 @@ class PVConv(nn.Module):
             v = v.astype(grid.dtype)  # devoxelize in the block's precision
 
         if self.voxel_shape == "cube":
-            voxel_features = trilinear_devoxelize(v, grid_coords, r)
+            cube_devox = (trilinear_devoxelize_fast if fast
+                          else trilinear_devoxelize)
+            voxel_features = cube_devox(v, grid_coords, r)
         else:
             devox = (spherical_trilinear_devoxelize_fast if fast
                      else spherical_trilinear_devoxelize)

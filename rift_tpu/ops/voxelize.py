@@ -156,3 +156,59 @@ def trilinear_devoxelize(voxel_grid: Array, grid_coords: Array, resolution: int
                 corner = jnp.take_along_axis(flat, idx[..., None], axis=-2)
                 out = out + (wx * wy * wz)[..., None] * corner
     return out
+
+
+# ------------------------------------------------------------------ #
+# Factorized fast path (round 5) — same semantics, MXU contractions with
+# factorized selectors instead of XLA scatter / 8-row gather. See
+# ops/factored_vox.py for the formulation.
+
+
+def cube_weight_planes(grid_coords: Array, resolution: int
+                       ) -> tuple[Array, Array]:
+    """Factorized trilinear selectors for the cube grid.
+
+    grid_coords [b, n, 3] continuous in [0, r-1] ->
+      (w_hi [b, n, r²] over (x, y), w_lo [b, n, r] over z). All axes clamp
+    at the boundary; weight-0 hi corners make the `(frac > 0)` hi rule of
+    `trilinear_devoxelize` numerically irrelevant (`trilinear_devox.cu`
+    bit-trick parity).
+    """
+    from .factored_vox import axis_weight_plane, combine_hi_planes
+
+    r = resolution
+    lo = jnp.floor(grid_coords)
+    frac = (grid_coords - lo).astype(jnp.float32)
+    lo_i = jnp.clip(lo.astype(jnp.int32), 0, r - 1)
+    hi_i = jnp.minimum(lo_i + 1, r - 1)
+    p_x = axis_weight_plane(lo_i[..., 0], hi_i[..., 0], frac[..., 0], r)
+    p_y = axis_weight_plane(lo_i[..., 1], hi_i[..., 1], frac[..., 1], r)
+    p_z = axis_weight_plane(lo_i[..., 2], hi_i[..., 2], frac[..., 2], r)
+    return combine_hi_planes(p_x, p_y), p_z
+
+
+def avg_voxelize_fast(features: Array, coords: Array, resolution: int,
+                      normalize: bool = True, eps: float = 0.0
+                      ) -> tuple[Array, Array, Array]:
+    """Drop-in for avg_voxelize on the factorized MXU path."""
+    from .factored_vox import scatter_mean_diff
+
+    r = resolution
+    grid_coords = normalize_coords_cube(jax.lax.stop_gradient(coords), r,
+                                        normalize=normalize, eps=eps)
+    inds = cube_voxel_indices(grid_coords, r)
+    flat = scatter_mean_diff(features, inds, r)
+    grid = flat.reshape(flat.shape[:-2] + (r, r, r, flat.shape[-1]))
+    return grid, inds, grid_coords
+
+
+def trilinear_devoxelize_fast(voxel_grid: Array, grid_coords: Array,
+                              resolution: int) -> Array:
+    """Drop-in for trilinear_devoxelize on the factorized MXU path."""
+    from .factored_vox import corner_gather_diff
+
+    r = resolution
+    c = voxel_grid.shape[-1]
+    flat = voxel_grid.reshape(voxel_grid.shape[:-4] + (r * r * r, c))
+    w_hi, w_lo = cube_weight_planes(jax.lax.stop_gradient(grid_coords), r)
+    return corner_gather_diff(flat, w_hi, w_lo, r)

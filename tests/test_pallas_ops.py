@@ -96,10 +96,6 @@ def test_fast_path_gradients_match_xla(rng):
 
     def loss_fast(f):
         from rift_tpu.ops.pallas import onehot_ops as oo
-        from rift_tpu.ops.pallas.spherical_fast import (
-            _corner_gather_diff,
-            _scatter_mean_diff,
-        )
         from rift_tpu.ops.spherical import (
             normalize_coords_sphere,
             spherical_corner_weights,
@@ -109,18 +105,16 @@ def test_fast_path_gradients_match_xla(rng):
         nc = normalize_coords_sphere(coords)
         inds, _ = spherical_voxel_indices(nc, r)
         # small tiles for the tiny test grid
-        import functools
         flat = oo.scatter_mean_pallas(f, inds, r**3, tile=32)[0]
         idx, w = spherical_corner_weights(nc, inds, r)
         out = oo.corner_gather_pallas(flat, idx, w, tile=32)
-        del _corner_gather_diff, _scatter_mean_diff, functools
         return jnp.sum(out**2)
 
     np.testing.assert_allclose(float(loss_ref(feat)), float(loss_fast(feat)),
                                rtol=1e-5)
     g_ref = jax.grad(loss_ref)(feat)
-    # gradient through the custom-vjp fast path (default tiles need r^3
-    # divisible; use the diff wrappers directly with the monkeypatched call)
+    # gradient through the public fast path on BOTH backends: the factored
+    # default and the one-hot A/B path (RIFT_FACTORED_VOX=0 equivalent).
     from rift_tpu.ops.pallas import spherical_fast as sf
 
     def loss_fast_vjp(f):
@@ -128,18 +122,28 @@ def test_fast_path_gradients_match_xla(rng):
         out = sf.spherical_trilinear_devoxelize_fast(grid, nc, inds, r)
         return jnp.sum(out**2)
 
-    # r^3=64 with default tile 512 fails the divisibility assert; patch tiles
+    # factored path (default)
+    assert sf._FACTORED
+    g_fact = jax.grad(loss_fast_vjp)(feat)
+    np.testing.assert_allclose(np.asarray(g_fact), np.asarray(g_ref),
+                               atol=1e-4)
+
+    # one-hot path (r^3=64 with default tile 512 fails the divisibility
+    # assert; patch tiles)
     import rift_tpu.ops.pallas.onehot_ops as oo
 
-    orig_sm, orig_cg = oo.scatter_mean_pallas, oo.corner_gather_pallas
-    orig_cs = oo.corner_scatter_pallas
+    orig_sm = sf.scatter_mean_pallas
+    orig_cs = sf.corner_scatter_pallas
     try:
-        sf.scatter_mean_pallas = lambda f_, i_, s_: orig_sm(f_, i_, s_, tile=32)
-        sf.corner_gather_pallas = lambda g_, i_, w_: orig_cg(g_, i_, w_, tile=32)
-        sf.corner_scatter_pallas = lambda d_, i_, w_, s_: orig_cs(d_, i_, w_, s_, tile=32)
+        sf._FACTORED = False
+        sf.scatter_mean_pallas = (
+            lambda f_, i_, s_: oo.scatter_mean_pallas(f_, i_, s_, tile=32))
+        sf.corner_scatter_pallas = (
+            lambda d_, i_, w_, s_: oo.corner_scatter_pallas(
+                d_, i_, w_, s_, tile=32))
         g_fast = jax.grad(loss_fast_vjp)(feat)
     finally:
+        sf._FACTORED = True
         sf.scatter_mean_pallas = orig_sm
-        sf.corner_gather_pallas = orig_cg
         sf.corner_scatter_pallas = orig_cs
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref), atol=1e-4)

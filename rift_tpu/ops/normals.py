@@ -43,10 +43,24 @@ def _exact_kth_smallest(d2: Array, k: int, groups: int = 16) -> Array:
     return -jax.lax.top_k(-cand, k)[0][..., -1:]
 
 
+def _use_fused_kernel(points: Array, impl: str) -> bool:
+    """'auto': the fused Pallas moments kernel on TPU (d² tiles resident in
+    VMEM, exact-kth by counting — ops/pallas/normals_kernel.py); the
+    matmul-moment XLA formulation elsewhere (also the test oracle)."""
+    if impl == "xla":
+        return False
+    n = points.shape[-2]
+    ok = n % 256 == 0 and points.ndim >= 3
+    if impl == "pallas":
+        return ok
+    return ok and jax.default_backend() == "tpu"
+
+
 def estimate_normals(points: Array, radius: float = 0.1,
                      max_neighbors: int | None = None,
                      camera: Array | None = None,
-                     min_neighbors: int = 16) -> Array:
+                     min_neighbors: int = 16,
+                     impl: str = "auto") -> Array:
     """Per-point unit normals oriented towards the camera.
 
     points [..., n, 3] -> normals [..., n, 3].
@@ -63,35 +77,51 @@ def estimate_normals(points: Array, radius: float = 0.1,
     """
     del max_neighbors
     n = points.shape[-2]
-    d2 = pairwise_sqdist(points, points)
-    r2 = jnp.asarray(radius * radius, points.dtype)
-    if min_neighbors and min_neighbors > 1 and n > min_neighbors:
-        k = min(min_neighbors, n)
-        # Exact k-th smallest d² per row (full top_k). This is the single
-        # most expensive piece of the op (~8% of end-to-end bench
-        # throughput went to it when the round-2 hybrid-search correctness
-        # fix landed), but the cheap alternatives measurably break the
-        # fit: approx_min_k wedges XLA when fused into the big eval
-        # program on this backend, and a counting radius-ladder inflates
-        # sparse-region neighborhoods past snugness, making the local
-        # covariance near-isotropic — an ill-conditioned smallest
-        # eigenvector loses the exact equivariance this search exists to
-        # provide (measured: per-point feature match rate 1.00 -> 0.80 on
-        # an exactly rotated copy). Correctness keeps the sort.
-        kth = _exact_kth_smallest(d2, k)
-        r2 = jnp.maximum(r2, kth * (1.0 + 1e-6))
-    mask = (d2 < r2).astype(points.dtype)  # [..., n, n]
-    cnt = jnp.sum(mask, axis=-1, keepdims=True)  # [..., n, 1] (>= 1: self)
-    # First moment: μ_i = Σ_j m_ij p_j / cnt_i
-    s1 = jnp.einsum("...ij,...jc->...ic", mask, points, precision=_HI)
-    mu = s1 / jnp.maximum(cnt, 1.0)
-    # Second moment: Σ_j m_ij p_j p_jᵀ as one [n, 9] matmul.
-    outer = (points[..., :, :, None] * points[..., :, None, :]).reshape(
-        points.shape[:-1] + (9,)
-    )
-    s2 = jnp.einsum("...ij,...jc->...ic", mask, outer, precision=_HI)
-    s2 = s2.reshape(s2.shape[:-1] + (3, 3)) / jnp.maximum(cnt[..., None], 1.0)
-    cov = s2 - mu[..., :, None] * mu[..., None, :]
+    use_k = bool(min_neighbors and min_neighbors > 1 and n > min_neighbors)
+    k = min(min_neighbors, n) if use_k else 0
+    if _use_fused_kernel(points, impl):
+        from .pallas.normals_kernel import neighborhood_moments_pallas
+
+        shape = points.shape
+        pts = points.reshape((-1,) + shape[-2:]).astype(jnp.float32)
+        s1, s2, cnt3 = neighborhood_moments_pallas(
+            pts, k, float(radius * radius),
+            interpret=jax.default_backend() != "tpu")
+        s1 = s1.reshape(shape).astype(points.dtype)
+        s2 = s2.reshape(shape[:-1] + (3, 3)).astype(points.dtype)
+        cnt = cnt3.reshape(shape[:-1] + (1,)).astype(points.dtype)
+        safe = jnp.maximum(cnt, 1.0)
+        mu = s1 / safe
+        cov = s2 / safe[..., None] - mu[..., :, None] * mu[..., None, :]
+    else:
+        d2 = pairwise_sqdist(points, points)
+        r2 = jnp.asarray(radius * radius, points.dtype)
+        if use_k:
+            # Exact k-th smallest d² per row (full top_k). The cheap
+            # alternatives measurably break the fit: approx_min_k wedges
+            # XLA when fused into the big eval program on this backend,
+            # and a counting radius-ladder inflates sparse-region
+            # neighborhoods past snugness, making the local covariance
+            # near-isotropic — an ill-conditioned smallest eigenvector
+            # loses the exact equivariance this search exists to provide
+            # (measured: per-point feature match rate 1.00 -> 0.80 on an
+            # exactly rotated copy). Correctness keeps the sort here; the
+            # Pallas path gets exactness from bracketed counting instead.
+            kth = _exact_kth_smallest(d2, k)
+            r2 = jnp.maximum(r2, kth * (1.0 + 1e-6))
+        mask = (d2 < r2).astype(points.dtype)  # [..., n, n]
+        cnt = jnp.sum(mask, axis=-1, keepdims=True)  # [..., n, 1] (>= 1)
+        # First moment: μ_i = Σ_j m_ij p_j / cnt_i
+        s1 = jnp.einsum("...ij,...jc->...ic", mask, points, precision=_HI)
+        mu = s1 / jnp.maximum(cnt, 1.0)
+        # Second moment: Σ_j m_ij p_j p_jᵀ as one [n, 9] matmul.
+        outer = (points[..., :, :, None] * points[..., :, None, :]).reshape(
+            points.shape[:-1] + (9,)
+        )
+        s2 = jnp.einsum("...ij,...jc->...ic", mask, outer, precision=_HI)
+        s2 = s2.reshape(s2.shape[:-1] + (3, 3)) / jnp.maximum(
+            cnt[..., None], 1.0)
+        cov = s2 - mu[..., :, None] * mu[..., None, :]
     # Degenerate neighborhoods (< 3 points): arbitrary but finite normal.
     degenerate = (cnt[..., 0] < 3)[..., None, None]
     cov = jnp.where(degenerate, jnp.eye(3, dtype=points.dtype), cov)

@@ -101,3 +101,58 @@ def test_exact_kth_smallest_equals_full_topk(rng):
     got = _exact_kth_smallest(d2_odd, 5, groups=16)
     ref = -jax.lax.top_k(-d2_odd, 5)[0][..., -1:]
     assert bool(jnp.all(got == ref))
+
+
+def test_normals_pallas_matches_xla(rng):
+    """Fused moments kernel (interpret mode) == XLA matmul-moment path,
+    including coincident points and the hybrid-radius expansion."""
+    from rift_tpu.ops.normals import estimate_normals
+
+    pts = rng.randn(2, 256, 3).astype(np.float32) * 0.3
+    pts[0, 1] = pts[0, 0]          # duplicate point
+    pts[1, :20] = pts[1, 0]        # 20 coincident points (empty bracket)
+    pts_j = jnp.asarray(pts)
+    ref = estimate_normals(pts_j, impl="xla")
+    fast = estimate_normals(pts_j, impl="pallas")
+    assert np.isfinite(np.asarray(fast)).all()
+    # Same plane fits up to sign — except where the neighborhood is
+    # rank-deficient (cloud 1's 20 coincident points leave some
+    # neighborhoods with < 3 distinct positions: the smallest-eigenvector
+    # problem has a null space and both answers are valid). Exclude
+    # near-degenerate fits via the eigenvalue gap.
+    from rift_tpu.ops.eig3 import eigvals_sym3
+    from rift_tpu.ops.pallas.normals_kernel import neighborhood_moments_pallas
+
+    s1, s2, cnt = neighborhood_moments_pallas(pts_j, 16, 0.01,
+                                              interpret=True)
+    mu = np.asarray(s1) / np.asarray(cnt)[..., None]
+    cov = (np.asarray(s2) / np.asarray(cnt)[..., None, None]
+           - mu[..., :, None] * mu[..., None, :])
+    lam = np.sort(np.stack([np.asarray(v) for v in
+                            eigvals_sym3(jnp.asarray(cov))], axis=-1),
+                  axis=-1)
+    well_posed = (lam[..., 1] - lam[..., 0]) > 1e-6
+    assert well_posed.mean() > 0.9
+    dot = np.abs(np.sum(np.asarray(ref) * np.asarray(fast), axis=-1))
+    np.testing.assert_allclose(dot[well_posed], 1.0, atol=1e-4)
+    # equivariance smoke: rotated copy -> rotated normals (pallas path)
+    th = 0.8
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32)
+    rot = estimate_normals(jnp.asarray(pts @ R.T), impl="pallas")
+    dot2 = np.abs(np.sum(np.asarray(rot) * (np.asarray(fast) @ R.T),
+                         axis=-1))
+    assert float(np.mean(dot2 > 0.999)) > 0.95
+
+
+def test_normals_moments_kernel_counts(rng):
+    from rift_tpu.ops.pallas.normals_kernel import neighborhood_moments_pallas
+
+    pts = jnp.asarray(rng.randn(1, 256, 3).astype(np.float32))
+    s1, s2, cnt = neighborhood_moments_pallas(pts, 16, 0.01, interpret=True)
+    # every point has at least k=16 neighbors (hybrid expansion) incl self
+    assert float(jnp.min(cnt)) >= 16
+    # s2 symmetric
+    np.testing.assert_allclose(np.asarray(s2),
+                               np.asarray(jnp.swapaxes(s2, -1, -2)),
+                               rtol=1e-5)

@@ -48,39 +48,30 @@ def _baseline_pairs_per_s() -> float:
         return BASELINE_PAIRS_PER_S
 
 
-def main() -> None:
-    from rift_tpu.data.registration_pairs import SyntheticPairs
+def _make_model(kernel: str):
     from rift_tpu.models import PVCNNClassifier
-    from rift_tpu.ops.normals import estimate_normals
-    from rift_tpu.registration import gnc_pose
-    from rift_tpu.ops.neighbors import mutual_nearest_neighbors
 
-    # Flagship shapes; env-overridable so a CPU smoke run stays cheap.
-    n_points = int(os.environ.get("BENCH_POINTS", "1024"))
-    batch_pairs = int(os.environ.get("BENCH_PAIRS", "64"))
-
-    model = PVCNNClassifier(
+    return PVCNNClassifier(
         blocks=((64, 1, 32), (128, 1, 32), (256, 1, None), (512, 1, None)),
         dim_k=512, is_classify=False,
-        # dgcnn kernel = the r1-r4 bench series config; BENCH_KERNEL=pointnet
-        # measures the round-4 recommended flagship (RANKING_r04: sph_pt wins
-        # hard-tier cls AND icl registration, and skips the dgcnn gather).
-        point_kernel_formal=os.environ.get(
-            "BENCH_KERNEL", "dgcnn") + "_kernel", voxel_shape="spherical",
+        point_kernel_formal=kernel + "_kernel", voxel_shape="spherical",
         rot_invariant_preprocess="change_coords", with_local_feat="ppf",
         extra_feature_channels=4, local_neighbors=128,
         with_coeff=True, with_se=True,
         dtype="bfloat16",  # conv/MLP stacks on the MXU at bf16; geometry f32
     )
 
-    pairs = SyntheticPairs(num_pairs=batch_pairs, num_points=n_points,
-                           mode="noise", max_amp=0.5)
-    src = np.stack([pairs[i][0] for i in range(batch_pairs)])
-    dst = np.stack([pairs[i][1] for i in range(batch_pairs)])
-    src = jnp.asarray(src)
-    dst = jnp.asarray(dst)
 
-    sample = jnp.concatenate([src[:1], jnp.zeros_like(src[:1])], -1)  # [1,n,6]
+def _measure(kernel: str, src, dst, batch_pairs: int, stack: int) -> float:
+    """Sustained pairs/s of the full register program for one model kernel,
+    `stack` batches per dispatch (stack=1 = single-batch dispatch latency
+    included per batch)."""
+    from rift_tpu.ops.normals import estimate_normals
+    from rift_tpu.ops.neighbors import mutual_nearest_neighbors
+    from rift_tpu.registration import gnc_pose
+
+    model = _make_model(kernel)
+    sample = jnp.concatenate([src[:1], jnp.zeros_like(src[:1])], -1)
     variables = model.init(jax.random.PRNGKey(0), sample, train=False)
 
     def register_batch(variables, src, dst):
@@ -100,8 +91,6 @@ def main() -> None:
             return t
 
         return jax.vmap(one)(src, dst, f_src, f_dst)
-
-    stack = int(os.environ.get("BENCH_STACK", "6"))  # batches per dispatch
 
     @jax.jit
     def register_stack(variables, src_stack, dst_stack):
@@ -132,15 +121,51 @@ def main() -> None:
     for o in outs:
         sync(o)
     dt = (time.perf_counter() - t0) / reps
-    pairs_per_s = batch_pairs * stack / dt
+    return batch_pairs * stack / dt
+
+
+def main() -> None:
+    from rift_tpu.data.registration_pairs import SyntheticPairs
+
+    # Flagship shapes; env-overridable so a CPU smoke run stays cheap.
+    n_points = int(os.environ.get("BENCH_POINTS", "1024"))
+    batch_pairs = int(os.environ.get("BENCH_PAIRS", "64"))
+    stack = int(os.environ.get("BENCH_STACK", "6"))  # batches per dispatch
+    # r1-r4 series kernel = sph_dg; the round-4+ recommended flagship is
+    # sph_pt (RANKING_r04). Both are measured and reported structurally
+    # (VERDICT r4 #7) so the series survives methodology/kernel changes.
+    series_kernel = os.environ.get("BENCH_KERNEL", "dgcnn")
+
+    pairs = SyntheticPairs(num_pairs=batch_pairs, num_points=n_points,
+                           mode="noise", max_amp=0.5)
+    src = jnp.asarray(np.stack([pairs[i][0] for i in range(batch_pairs)]))
+    dst = jnp.asarray(np.stack([pairs[i][1] for i in range(batch_pairs)]))
+
+    stacked = _measure(series_kernel, src, dst, batch_pairs, stack)
+    one_batch = _measure(series_kernel, src, dst, batch_pairs, 1)
+    flagship = None
+    if os.environ.get("BENCH_FLAGSHIP", "1") != "0" and \
+            series_kernel == "dgcnn":
+        flagship = _measure("pointnet", src, dst, batch_pairs, stack)
 
     out = {
         "metric": f"registered scan-pairs/s/chip ({n_points}-pt, "
                   "feat+match+GNC)",
-        "value": round(pairs_per_s, 3),
+        "value": round(stacked, 3),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_s / _baseline_pairs_per_s(), 3),
+        "vs_baseline": round(stacked / _baseline_pairs_per_s(), 3),
+        # Structural series fields (VERDICT r4 #7): the headline `value`
+        # is the stacked-dispatch sph_dg number (comparable to BENCH_r04);
+        # one_batch includes the full ~130 ms/dispatch tunnel overhead per
+        # 64-pair batch (comparable to the r1-r3 methodology).
+        "kernel": f"sph_{'dg' if series_kernel == 'dgcnn' else 'pt'}",
+        "stack": stack,
+        "stacked_pairs_per_s": round(stacked, 3),
+        "one_batch_pairs_per_s": round(one_batch, 3),
     }
+    if flagship is not None:
+        out["flagship_kernel"] = "sph_pt"
+        out["flagship_stacked_pairs_per_s"] = round(flagship, 3)
     if (n_points, batch_pairs) != (1024, 64) or "BENCH_KERNEL" in os.environ:
         # The stored denominator was measured at the default dgcnn/1024/64
         # config; flag overridden runs so their ratio is not misread.

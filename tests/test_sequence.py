@@ -79,11 +79,15 @@ def test_map_sequence_oracle_features_monotonic_ate():
 @pytest.mark.slow
 def test_map_sequence_sharded_matches_single():
     """Edge-sharded pose graph + landmark-sharded BA on the 8-device CPU
-    mesh reproduce the single-device result (psum reassociation only)."""
+    mesh reproduce the single-device result (psum reassociation only).
+
+    Fixture deliberately tiny (T=8 scans, 128 points — VERDICT r4 #10):
+    the gates exercised are sharding equivalence, not map quality, and the
+    runtime is compile-dominated."""
     from rift_tpu.parallel.mesh import make_mesh
 
-    seq = SyntheticSequence(SequenceConfig(num_scans=12, num_points=256,
-                                           scene_points=4096, seed=4))
+    seq = SyntheticSequence(SequenceConfig(num_scans=8, num_points=128,
+                                           scene_points=2048, seed=4))
     feats = _oracle_features(seq)
     # gate_rounds=0: the sharded-vs-single equivalence doesn't exercise the
     # prior-gated re-matching, and the extra registration pass + graph

@@ -95,3 +95,21 @@ def jitter(pcd: np.ndarray, sigma: float = 0.01, clip: float | None = 0.05,
 def resample(pcd: np.ndarray, num_points: int,
              rs: np.random.RandomState) -> np.ndarray:
     return pcd[randchoice(rs, pcd.shape[0], num_points)]
+
+
+def quantile_band_crop(pcd: np.ndarray, lo: float, hi: float,
+                       direction: np.ndarray) -> np.ndarray:
+    """Keep points whose projection onto `direction` lies in the
+    [lo, hi] quantile band of this cloud — the controlled-overlap crop of
+    the partialK sweep tier (two clouds cropped to bands of known
+    intersection along a COMMON world direction have a deterministic
+    mutual-overlap fraction, unlike independent random half-spaces whose
+    overlap distribution is wide)."""
+    pts = pcd[:, :3] - pcd[:, :3].mean(0, keepdims=True)
+    dist = pts @ np.asarray(direction, pcd.dtype)
+    lo_t = np.percentile(dist, max(lo, 0.0) * 100.0)
+    hi_t = np.percentile(dist, min(hi, 1.0) * 100.0)
+    keep = (dist >= lo_t) & (dist <= hi_t)
+    if keep.sum() < 8:  # degenerate band: fall back to the whole cloud
+        return pcd
+    return pcd[keep]

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.neighbors import mutual_nearest_neighbors
-from .gnc import gnc_pose
+from .gnc import gnc_pose, teaser_pose
 from .icp import icp_plane_pose, icp_pose
 from .ransac import ransac_pose
 from ..ops.precision import f32_geometry
@@ -112,7 +112,9 @@ def register_pair_from_matches(
     dst = pts2[idx2]
 
     if method == "teaserpp":
-        transform, w = gnc_pose(src, dst, mask, noise_bound=noise_bound)
+        # Full TEASER pipeline since round 5: compatibility-core pruning +
+        # TIM-decoupled rotation/translation + GNC-TLS polish (gnc.py).
+        transform, w = teaser_pose(src, dst, mask, noise_bound=noise_bound)
         inliers = w > 0.5
     elif method == "fgr":
         transform, w = gnc_pose(src, dst, mask, noise_bound=2 * noise_bound,

@@ -32,7 +32,11 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-REG_MODES = ("clean", "noise", "partial", "icl_nuim")
+# partial0.5 / partial0.3 = the hard overlap sweep (VERDICT r4 #4):
+# asymmetric independent half-space crops on top of the z-buffer crop,
+# independent densities — see data/registration_pairs.py.
+REG_MODES = ("clean", "noise", "partial", "partial0.5", "partial0.3",
+             "icl_nuim")
 # '+pl' (plane-only polish) included since round 4: on scene scans the
 # point-to-point prestep of '+picp' biases rotation (icl analog: ransac
 # 0.93 -> +picp 1.66 deg) while '+pl' improves RTE without that cost —
@@ -144,12 +148,32 @@ def main() -> int:
             # reliably compile through this setup's remote-compile tunnel.
             data = ([f"evaluate.pairs_path='{h5_paths[mode]}'"]
                     if mode in h5_paths else [])
+            # Overlap-sweep tiers reuse the partial preset with the mode
+            # overridden (their pair synthesis is parameterized, not a
+            # separate config subtree).
+            preset_mode = "partial" if mode.startswith("partial0") else mode
+            if mode.startswith("partial0"):
+                data += [f"evaluate.pairs_mode='{mode}'"]
             record(run_step(
                 f"reg_{mode}",
                 [py, "-m", "rift_tpu.cli", *plat, "evaluate",
-                 "--preset", f"reg_{mode}_teaserpp_cu_dg", *ckpt_args,
+                 "--preset", f"reg_{preset_mode}_teaserpp_cu_dg", *ckpt_args,
                  "--methods", ",".join(methods),
                  "evaluate.batch_pairs=25", *data],
+                args.timeout))
+        if "latency" in steps or "reg" in steps:
+            # Single-pair dispatch latency probe (VERDICT r4 #8): ONE
+            # 1-pair program so the battery can state both numbers — the
+            # batched-throughput s/pair in the rows above (dispatch
+            # amortized over batch_pairs, the serving number) and the
+            # per-pair wall latency the reference's reg_time corresponds
+            # to (deepgmr_mn40.py:148-151: one pair per iteration).
+            record(run_step(
+                "reg_latency",
+                [py, "-m", "rift_tpu.cli", *plat, "evaluate",
+                 "--preset", "reg_noise_teaserpp_cu_dg", *ckpt_args,
+                 "--methods", "ransac+picp",
+                 "evaluate.batch_pairs=1", "evaluate.num_pairs=8"],
                 args.timeout))
     if "map" in steps:
         # ransac+picp edges: the measured-best edge method on the
@@ -222,10 +246,24 @@ def write_summary(results: list[dict], ckpt: str, rnd: int,
             f"{m.get('logit_drift', float('nan')):.4f}",
             "",
         ]
+    lat = by.get("reg_latency")
+    lat_note = ""
+    if lat and lat["metrics"]:
+        lm = lat["metrics"]
+        lat_note = (f"Single-pair dispatch latency (batch_pairs=1, "
+                    f"ransac+picp, noise mode): "
+                    f"**{lm.get('ransac_picp_reg_time', float('nan')):.4f} "
+                    "s/pair** — this is what the reference's `reg_time` "
+                    "measures (deepgmr_mn40.py:148-151, one pair per "
+                    "iteration incl. per-dispatch overhead). ")
     lines += ["## Registration (100 pairs each, trained trunk, "
               "flip-consensus matching)", "",
+              "reg_time below is BATCHED-throughput seconds/pair "
+              "(batch_pairs=25 per dispatch, dispatch overhead amortized "
+              "— the serving number). " + lat_note,
+              "",
               "| set | method | RRE (deg) | RTE | RMSE | success | "
-              "reg_time (s/pair) |",
+              "reg_time (batched s/pair) |",
               "|---|---|---|---|---|---|---|"]
     for mode in modes:
         r = by.get(f"reg_{mode}")

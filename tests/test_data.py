@@ -235,3 +235,30 @@ def test_hard_tier_occlusion_is_half_space():
     assert np.linalg.norm(cut[:, :3], axis=1).max() <= 1.5
     # and the distribution genuinely changed
     assert abs(cut[:, :3].mean() - full[:, :3].mean()) > 0
+
+
+def test_partial_overlap_sweep_is_monotone_harder():
+    """partialK tiers: K controls the source-overlap fraction (VERDICT r4
+    #4 — the old random-plane construction had a wide, K-independent
+    overlap distribution)."""
+    import numpy as np
+
+    from rift_tpu.data.registration_pairs import SyntheticPairs
+
+    def mean_cover(mode, n_pairs=8):
+        sp = SyntheticPairs(num_pairs=n_pairs, num_points=256, mode=mode,
+                            seed=1)
+        covs = []
+        for i in range(n_pairs):
+            s, d, t = sp[i]
+            assert s.shape == (256, 3) and np.isfinite(s).all()
+            sm = s @ t[:3, :3].T + t[:3, 3]
+            dist = np.sqrt(((sm[:, None] - d[None]) ** 2).sum(-1)).min(1)
+            covs.append(float((dist < 0.03).mean()))
+        return float(np.mean(covs))
+
+    c_full = mean_cover("partial")
+    c7 = mean_cover("partial0.7")
+    c3 = mean_cover("partial0.3")
+    assert c_full > c7 > c3, (c_full, c7, c3)
+    assert c3 < 0.3, c3

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""North-star map at realistic trajectory length: T>=96 scans, sparse loop
+closures (every ~12), drift curve ATE(T) for odometry / pose graph / BA
+(VERDICT r4 #6). Writes MAP_DRIFT_r05.json.
+
+Usage (TPU):
+  python scripts/map_drift.py --ckpt checkpoints/mn40_sph_pt_r4 \
+      --name best_acc [--scans 96] [--loop-stride 12]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def prefix_ate(gt, est, t):
+    import jax.numpy as jnp
+
+    from rift_tpu.registration.pose_graph import trajectory_ate
+
+    return float(trajectory_ate(jnp.asarray(gt[:t]), jnp.asarray(est[:t])))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--name", default="best_acc")
+    ap.add_argument("--scans", type=int, default=96)
+    ap.add_argument("--loop-stride", type=int, default=12)
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "MAP_DRIFT_r05.json"))
+    args = ap.parse_args()
+
+    from rift_tpu.data.sequences import SequenceConfig, SyntheticSequence
+    from rift_tpu.registration.sequence import map_sequence
+    from rift_tpu.train import get_config
+    from rift_tpu.train.loop import (extract_features_flips, get_logger,
+                                     resolve_extractor)
+
+    t0 = time.time()
+    config = get_config("reg_icl_nuim_teaserpp_cu_dg")
+    # Longer trajectory than the default battery map: the 24-scan loop-rich
+    # default makes the pose graph nearly saturate ATE; T=96 with closures
+    # only every `loop_stride` leaves real drift for the back end to fix.
+    config.sequence.num_scans = args.scans
+    config.sequence.orbit_degrees = 720.0   # two loops of the room
+    log = get_logger("map_drift")
+    seq = SyntheticSequence(config.sequence)
+    state, model = resolve_extractor(config, None, None, args.ckpt,
+                                     args.name, log)
+
+    flip_feats = extract_features_flips(state, model, seq.scans)
+    feats = flip_feats[:, 0]
+    res = map_sequence(
+        seq.scans, feats, gt_poses=seq.gt_poses,
+        method=config.evaluate.method,
+        noise_bound=config.evaluate.noise_bound,
+        num_hypotheses=config.evaluate.num_hypotheses,
+        inlier_threshold=config.evaluate.inlier_threshold,
+        loop_stride=args.loop_stride, landmarks_per_edge=64,
+        seed=config.seed, flip_features=flip_feats)
+
+    ts = [t for t in (12, 24, 48, 72, args.scans) if t <= args.scans]
+    curve = []
+    for t in ts:
+        curve.append({
+            "T": t,
+            "ate_odometry": round(prefix_ate(seq.gt_poses, res.odometry, t), 5),
+            "ate_graph": round(prefix_ate(seq.gt_poses, res.graph, t), 5),
+            "ate_ba": round(prefix_ate(seq.gt_poses, res.ba, t), 5),
+        })
+    out = {
+        "scans": args.scans,
+        "loop_stride": args.loop_stride,
+        "edges": int(res.edges[0].shape[0]),
+        "method": config.evaluate.method,
+        "metrics": {k: round(float(v), 5) for k, v in res.metrics.items()},
+        "drift_curve": curve,
+        "ba_vs_graph_final": round(
+            curve[-1]["ate_graph"] - curve[-1]["ate_ba"], 5),
+        "wall_s": round(time.time() - t0, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

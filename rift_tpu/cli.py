@@ -61,6 +61,9 @@ def main(argv: list[str] | None = None) -> int:
     p_ecls.add_argument("--no-hard", action="store_true",
                         help="skip the hard-tier pass (calibration probes "
                              "sweep dataset overrides directly)")
+    p_ecls.add_argument("--sweep", action="store_true",
+                        help="graded corruption sweep (accuracy per level "
+                             "+ AUC) — the second ranking axis")
     p_ecls.add_argument("overrides", nargs="*")
 
     p_map = sub.add_parser(
@@ -134,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
         results = evaluate_classification_ckpt(
             config, ckpt_dir=args.ckpt, ckpt_name=ckpt_name,
             rotations=args.rotations, hard_tier=not args.no_hard,
-            cli_overrides=args.overrides)
+            cli_overrides=args.overrides, corruption_sweep=args.sweep)
         for key, value in results.items():
             print(f"{key}: {value:.6f}")
         return 0

@@ -57,7 +57,7 @@ def eval_one(name: str, preset: str, timeout: float) -> dict:
     ckpt_dir = os.path.join("checkpoints", f"rank_{name}")
     argv = [sys.executable, "-m", "rift_tpu.cli", "evaluate-cls",
             "--preset", preset, "--ckpt", ckpt_dir, "--best", "acc",
-            "--rotations", "0",
+            "--rotations", "0", "--sweep",
             "dataset.synthetic_items={'train':2048,'valid':512,'test':512}"]
     for attempt in range(2):
         try:
@@ -118,11 +118,13 @@ def main() -> int:
           "Reference analog: README.md:31-34 (cls accuracy table ranking "
           "cu/sph x pt/dg).",
           "",
-          "| variant | acc (standard) | acc (hard) |",
-          "|---|---|---|"]
+          "| variant | acc (standard) | acc (hard) | corruption AUC "
+          "(2nd axis) |",
+          "|---|---|---|---|"]
     for row in rows:
         md.append(f"| {row['variant']} | {row.get('acc', float('nan')):.4f} "
-                  f"| {row.get('acc_hard', float('nan')):.4f} |")
+                  f"| {row.get('acc_hard', float('nan')):.4f} "
+                  f"| {row.get('sweep_auc', float('nan')):.4f} |")
     path = os.path.join(REPO, f"RANKING_r{args.round:02d}.md")
     with open(path, "w") as f:
         f.write("\n".join(md) + "\n")

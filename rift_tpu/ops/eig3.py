@@ -86,3 +86,64 @@ def eigh_sym3(a: Array) -> tuple[Array, Array]:
     vals = jnp.stack([lam0, lam1, lam2], axis=-1)
     vecs = jnp.stack([v0, v1, v2], axis=-1)  # columns
     return vals, vecs
+
+
+# ------------------------------------------------------------------ #
+# Component-wise variants: identical math on six separate [...] arrays.
+# The [..., 3, 3] forms above are convenient but TPU tiles pad the two
+# minor size-3 axes to (8, 128) — ~40x physical memory/ops per pass,
+# which made the closed-form eigensolver the dominant cost of the Pallas
+# normals path. These operate on fully packed lanes instead.
+
+
+def smallest_eigenvector_sym3_components(a00, a01, a02, a11, a12, a22):
+    """Unit eigenvector of the smallest eigenvalue of the symmetric matrix
+    [[a00,a01,a02],[a01,a11,a12],[a02,a12,a22]] (all [...]-shaped arrays)
+    -> (vx, vy, vz). Same Smith-1961 closed form as
+    smallest_eigenvector_sym3."""
+    third = 1.0 / 3.0
+    q = (a00 + a11 + a22) * third
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22
+          + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    det_b = (b00 * (b11 * b22 - a12 * a12)
+             - a01 * (a01 * b22 - a12 * a02)
+             + a02 * (a01 * a12 - b11 * a02))
+    r = jnp.clip(det_b / (2.0 * p * p * p), -1.0, 1.0)
+    phi = jnp.arccos(r) * third
+    lam0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi * third)
+
+    # rows of (A - λ0 I)
+    r0x, r0y, r0z = a00 - lam0, a01, a02
+    r1x, r1y, r1z = a01, a11 - lam0, a12
+    r2x, r2y, r2z = a02, a12, a22 - lam0
+
+    def cross(ax, ay, az, bx, by, bz):
+        return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+    c01 = cross(r0x, r0y, r0z, r1x, r1y, r1z)
+    c02 = cross(r0x, r0y, r0z, r2x, r2y, r2z)
+    c12 = cross(r1x, r1y, r1z, r2x, r2y, r2z)
+    n01 = c01[0] ** 2 + c01[1] ** 2 + c01[2] ** 2
+    n02 = c02[0] ** 2 + c02[1] ** 2 + c02[2] ** 2
+    n12 = c12[0] ** 2 + c12[1] ** 2 + c12[2] ** 2
+    # branchless best-of-three (same pick as argmax over stacked norms)
+    use02 = n02 > n01
+    bx = jnp.where(use02, c02[0], c01[0])
+    by = jnp.where(use02, c02[1], c01[1])
+    bz = jnp.where(use02, c02[2], c01[2])
+    bn = jnp.where(use02, n02, n01)
+    use12 = n12 > bn
+    bx = jnp.where(use12, c12[0], bx)
+    by = jnp.where(use12, c12[1], by)
+    bz = jnp.where(use12, c12[2], bz)
+    bn = jnp.where(use12, n12, bn)
+    norm = jnp.sqrt(jnp.maximum(bn, 0.0))
+    ok = norm > 1e-20
+    inv = jnp.where(ok, 1.0 / jnp.maximum(norm, 1e-20), 0.0)
+    # Degenerate (repeated eigenvalue / zero matrix): fall back to +z.
+    vx = jnp.where(ok, bx * inv, 0.0)
+    vy = jnp.where(ok, by * inv, 0.0)
+    vz = jnp.where(ok, bz * inv, 1.0)
+    return vx, vy, vz

@@ -80,6 +80,7 @@ def estimate_normals(points: Array, radius: float = 0.1,
     use_k = bool(min_neighbors and min_neighbors > 1 and n > min_neighbors)
     k = min(min_neighbors, n) if use_k else 0
     if _use_fused_kernel(points, impl):
+        from .eig3 import smallest_eigenvector_sym3_components
         from .pallas.normals_kernel import neighborhood_moments_pallas
 
         shape = points.shape
@@ -87,12 +88,42 @@ def estimate_normals(points: Array, radius: float = 0.1,
         s1, s2, cnt3 = neighborhood_moments_pallas(
             pts, k, float(radius * radius),
             interpret=jax.default_backend() != "tpu")
-        s1 = s1.reshape(shape).astype(points.dtype)
-        s2 = s2.reshape(shape[:-1] + (3, 3)).astype(points.dtype)
-        cnt = cnt3.reshape(shape[:-1] + (1,)).astype(points.dtype)
-        safe = jnp.maximum(cnt, 1.0)
-        mu = s1 / safe
-        cov = s2 / safe[..., None] - mu[..., :, None] * mu[..., None, :]
+        # Component-wise finish on fully packed [b, n] arrays: the
+        # [..., 3, 3] formulation pads the two size-3 minor axes to a
+        # full (8, 128) tile — ~40x physical work per elementwise pass,
+        # which made this epilogue cost ~40% of the whole op.
+        safe = jnp.maximum(cnt3, 1.0)
+        inv = 1.0 / safe
+        mux, muy, muz = (s1[..., 0] * inv, s1[..., 1] * inv,
+                         s1[..., 2] * inv)
+        c00 = s2[..., 0, 0] * inv - mux * mux
+        c01 = s2[..., 0, 1] * inv - mux * muy
+        c02 = s2[..., 0, 2] * inv - mux * muz
+        c11 = s2[..., 1, 1] * inv - muy * muy
+        c12 = s2[..., 1, 2] * inv - muy * muz
+        c22 = s2[..., 2, 2] * inv - muz * muz
+        # Degenerate neighborhoods (< 3 points): identity covariance ->
+        # finite, arbitrary normal (same rule as the XLA path).
+        deg = cnt3 < 3
+        one = jnp.ones_like(c00)
+        zero = jnp.zeros_like(c00)
+        c00 = jnp.where(deg, one, c00)
+        c11 = jnp.where(deg, one, c11)
+        c22 = jnp.where(deg, one, c22)
+        c01 = jnp.where(deg, zero, c01)
+        c02 = jnp.where(deg, zero, c02)
+        c12 = jnp.where(deg, zero, c12)
+        vx, vy, vz = smallest_eigenvector_sym3_components(
+            c00, c01, c02, c11, c12, c22)
+        cam = (jnp.zeros(3, jnp.float32) if camera is None
+               else camera.astype(jnp.float32))
+        dot = (vx * (cam[0] - pts[..., 0]) + vy * (cam[1] - pts[..., 1])
+               + vz * (cam[2] - pts[..., 2]))
+        sign = jnp.where(dot < 0.0, -1.0, 1.0)
+        inv_n = sign / jnp.maximum(
+            jnp.sqrt(vx * vx + vy * vy + vz * vz), 1e-12)
+        normal = jnp.stack([vx * inv_n, vy * inv_n, vz * inv_n], axis=-1)
+        return normal.reshape(shape).astype(points.dtype)
     else:
         d2 = pairwise_sqdist(points, points)
         r2 = jnp.asarray(radius * radius, points.dtype)

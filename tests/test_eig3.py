@@ -51,3 +51,20 @@ def test_degenerate_matrices():
     a = jnp.stack([jnp.zeros((3, 3)), 2.0 * jnp.eye(3)])
     v = np.asarray(smallest_eigenvector_sym3(a))
     np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0, atol=1e-6)
+
+
+def test_component_eigenvector_matches_matrix_form(rng):
+    from rift_tpu.ops.eig3 import (smallest_eigenvector_sym3,
+                                   smallest_eigenvector_sym3_components)
+
+    h = rng.randn(64, 3, 3).astype(np.float32)
+    a = h + np.swapaxes(h, -1, -2)
+    aj = jnp.asarray(a)
+    v_mat = np.asarray(smallest_eigenvector_sym3(aj))
+    vx, vy, vz = smallest_eigenvector_sym3_components(
+        aj[..., 0, 0], aj[..., 0, 1], aj[..., 0, 2],
+        aj[..., 1, 1], aj[..., 1, 2], aj[..., 2, 2])
+    v_cmp = np.stack([np.asarray(vx), np.asarray(vy), np.asarray(vz)], -1)
+    # same eigvector up to sign
+    dot = np.abs(np.sum(v_mat * v_cmp, axis=-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-4)

@@ -84,6 +84,19 @@ def main() -> int:
         "drift_curve": curve,
         "ba_vs_graph_final": round(
             curve[-1]["ate_graph"] - curve[-1]["ate_ba"], 5),
+        "ba_analysis": (
+            "BA reproduces the pose-graph optimum on this data by "
+            "construction: landmarks are built per edge with exactly two "
+            "observations (sequence.py landmarks_from_edges, obs=[i, j]), "
+            "so the BA objective carries the same pairwise information "
+            "the graph already fused optimally — its guard rails keep it "
+            "from hurting, and nothing lets it help. Measurable BA gains "
+            "require MULTI-view landmark association (the same physical "
+            "point tracked across >=3 scans), i.e. merging per-edge "
+            "landmarks by world-frame proximity before the solve; the "
+            "drift curve (odometry ATE tripling 12->96 scans while the "
+            "graph halves it) shows exactly the budget such landmarks "
+            "would close."),
         "wall_s": round(time.time() - t0, 1),
     }
     with open(args.out, "w") as f:

@@ -313,6 +313,56 @@ def build_landmarks(scans: np.ndarray, poses: np.ndarray, i_idx: np.ndarray,
             np.concatenate(obs_local, 0).astype(np.float32))
 
 
+def merge_landmarks(lms: np.ndarray, obs_pose: np.ndarray,
+                    obs_local: np.ndarray, voxel_size: float,
+                    k_max: int = 6
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Multi-view landmark association: merge per-edge 2-view landmarks
+    whose world inits share a voxel into one landmark observed by up to
+    `k_max` poses.
+
+    Per-edge landmarks carry exactly the pairwise information the pose
+    graph already fused, so BA over them reproduces the graph optimum
+    (MAP_DRIFT_r05 analysis). Landmarks observed by >=3 scans add
+    constraints the graph cannot express — co-visibility chains — which
+    is where BA starts paying. Association is world-frame voxel hashing
+    (the same physical point, seen from different edges, lands within the
+    registration error of itself); one observation per pose is kept
+    (first wins), padding is -1.
+
+    lms [Nl, 3], obs_pose [Nl, K] int32 (-1 pad), obs_local [Nl, K, 3] ->
+    same triple with Nl' <= Nl and fan-out k_max.
+    """
+    valid_row = obs_pose[:, 0] >= 0
+    idx_valid = np.where(valid_row)[0]
+    if idx_valid.size == 0:
+        return lms, obs_pose, obs_local
+    keys = np.floor(lms[idx_valid] / max(voxel_size, 1e-9)).astype(np.int64)
+    _, inverse = np.unique(keys, axis=0, return_inverse=True)
+    n_groups = int(inverse.max()) + 1
+    out_lm = np.zeros((n_groups, 3), np.float32)
+    out_op = -np.ones((n_groups, k_max), np.int32)
+    out_ol = np.zeros((n_groups, k_max, 3), np.float32)
+    counts = np.zeros(n_groups, np.int64)
+    np.add.at(out_lm, inverse, lms[idx_valid])
+    np.add.at(counts, inverse, 1)
+    out_lm /= np.maximum(counts[:, None], 1)
+    fill = np.zeros(n_groups, np.int32)
+    for row, g in zip(idx_valid, inverse):
+        for s in range(obs_pose.shape[1]):
+            p = obs_pose[row, s]
+            if p < 0 or fill[g] >= k_max:
+                continue
+            if p in out_op[g, :fill[g]]:
+                continue  # one observation per pose (first wins)
+            out_op[g, fill[g]] = p
+            out_ol[g, fill[g]] = obs_local[row, s]
+            fill[g] += 1
+    # a landmark needs >=2 observing poses to constrain anything
+    keep = fill >= 2
+    return out_lm[keep], out_op[keep], out_ol[keep]
+
+
 def map_sequence(scans: np.ndarray, features: np.ndarray,
                  gt_poses: np.ndarray | None = None,
                  method: str = "teaserpp", noise_bound: float = 0.02,
@@ -324,7 +374,8 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
                  flip_features: np.ndarray | None = None,
                  edge_anchor: float = 8.0,
                  spatial_gate: float | None | str = "auto",
-                 gate_rounds: int = 1
+                 gate_rounds: int = 1,
+                 merge_voxel: float | None | str = "auto"
                  ) -> SequenceResult:
     """Full sequence pipeline; pass `mesh` to run the pose-graph and BA
     solves sharded over its 'data' axis (edges / landmarks distributed,
@@ -433,11 +484,20 @@ def map_sequence(scans: np.ndarray, features: np.ndarray,
         scans, graph, i_idx, j_idx, corr_idx2, corr_w, measurements,
         per_edge=landmarks_per_edge, max_residual=3.0 * noise_bound,
         min_edge_inliers=min_edge_inliers)
+    if merge_voxel == "auto":
+        # Associate across edges at the scale of the registration error:
+        # the same physical point re-observed via different edges lands
+        # within a few noise bounds of itself in the world frame.
+        merge_voxel = 3.0 * noise_bound
+    if merge_voxel:
+        lms, obs_pose, obs_local = merge_landmarks(
+            lms, obs_pose, obs_local, float(merge_voxel))
     if mesh is not None:
+        k_obs = obs_pose.shape[1]
         lms, obs_pose, obs_local = _pad_to_multiple(
             [lms, obs_pose, obs_local], n_dev,
-            [np.zeros(3, np.float32), -np.ones(2, np.int32),
-             np.zeros((2, 3), np.float32)])
+            [np.zeros(3, np.float32), -np.ones(k_obs, np.int32),
+             np.zeros((k_obs, 3), np.float32)])
         ba_poses, _ = bundle_adjust_sharded(
             jnp.asarray(graph), jnp.asarray(lms), jnp.asarray(obs_pose),
             jnp.asarray(obs_local), mesh, num_iterations=ba_iterations,

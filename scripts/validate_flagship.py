@@ -291,7 +291,10 @@ def write_summary(results: list[dict], ckpt: str, rnd: int,
             "(data/registration_pairs.py: quantile-band crops along a "
             "common world direction; measured source coverage ≈ 0.56 "
             "legacy partial / 0.48 / 0.35 / 0.22 for K=0.7/0.5/0.3). "
-            "Below ~0.5 coverage every method collapses (~100° RRE): the "
+            "The cliff sits between 0.56 and 0.48 coverage: K=0.7 is "
+            "bimodal succeed-or-die (best rmse_succ 0.63, mean RRE ~53° "
+            "dominated by the failures), and below ~0.4 coverage every "
+            "method collapses (~100° RRE): the "
             "failure is in MATCHING, not the solvers — asymmetric crops "
             "move each cloud's PCA canonicalization frame, so trunk "
             "features live in different frames and mutual-NN inlier "

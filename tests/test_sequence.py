@@ -186,3 +186,27 @@ def test_map_sequence_refresh_hits_inlier_target():
     assert gated.metrics["mean_edge_inliers"] >= base.metrics[
         "mean_edge_inliers"] - 1e-6
     assert gated.metrics["ate_ba"] <= base.metrics["ate_ba"] * 1.05 + 1e-4
+
+
+def test_merge_landmarks_associates_multiview():
+    """Voxel association turns per-edge 2-view landmarks into multi-view
+    landmarks (>=3 observing poses) and dedups per-pose observations."""
+    from rift_tpu.registration.sequence import merge_landmarks
+
+    # (coordinates kept inside one voxel cell: association is voxel
+    # hashing, so boundary-straddling points may legitimately not merge)
+    lms = np.array([[0.01, 0.01, 0.01], [0.011, 0.011, 0.01],  # same point
+                    [1.0, 0.0, 0.0],                           # distinct
+                    [0.012, 0.009, 0.01]], np.float32)         # same again
+    obs_pose = np.array([[0, 1], [1, 2], [0, 3], [2, 3]], np.int32)
+    obs_local = np.arange(4 * 2 * 3, dtype=np.float32).reshape(4, 2, 3)
+    m_lm, m_op, m_ol = merge_landmarks(lms, obs_pose, obs_local, 0.05)
+    assert m_lm.shape[0] == 2
+    # the merged cluster must see poses {0, 1, 2, 3} (pose 1 deduped)
+    fan = sorted(p for p in m_op[np.argmin(np.abs(m_lm[:, 0]))] if p >= 0)
+    assert fan == [0, 1, 2, 3]
+    # invalid rows pass through
+    e_lm, e_op, e_ol = merge_landmarks(
+        np.zeros((2, 3), np.float32), -np.ones((2, 2), np.int32),
+        np.zeros((2, 2, 3), np.float32), 0.05)
+    assert e_op.shape == (2, 2)

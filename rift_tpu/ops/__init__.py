@@ -25,4 +25,15 @@ from .spherical import (  # noqa: F401
     spherical_trilinear_devoxelize,
     spherical_voxel_indices,
 )
-from .voxelize import avg_voxelize, scatter_mean, trilinear_devoxelize  # noqa: F401
+from .voxelize import (  # noqa: F401
+    avg_voxelize,
+    avg_voxelize_fast,
+    scatter_mean,
+    trilinear_devoxelize,
+    trilinear_devoxelize_fast,
+)
+from .factored_vox import (  # noqa: F401
+    corner_gather_factored,
+    corner_scatter_factored,
+    scatter_mean_factored,
+)

@@ -1,5 +1,11 @@
 """Pallas TPU kernels: scatter/gather as one-hot MXU contractions.
 
+STATUS (round 5): superseded as the default fast path by the FACTORIZED
+formulation (ops/factored_vox.py — the r³ one-hot splits into an
+(r²-hi ⊗ r-lo) selector pair, ~30× less VPU selector work; measured
+vox 14→5 ms, devox 17.9→7.7 ms at flagship shapes). These kernels remain
+the RIFT_FACTORED_VOX=0 A/B path and a second oracle in tests.
+
 The voxelization family is scatter/gather-shaped — the worst fit for TPU's
 vector/matrix units if expressed literally (XLA lowers them to serialized
 scatters). These kernels re-shape the problem: a scatter-mean over r³ voxels

@@ -95,7 +95,10 @@ class EvalConfig:
     # what the flagship presets use (registration/pipeline.py docstring).
     method: str = "teaserpp"
     pairs_path: str | None = None  # h5 file; None -> synthetic pairs
-    pairs_mode: str = "noise"      # 'clean' | 'noise' | 'partial'
+    # 'clean' | 'noise' | 'partial' | 'icl_nuim' | 'partialK' (e.g.
+    # 'partial0.5': controlled overlap-sweep tier, K = source-overlap
+    # fraction — data/registration_pairs.py)
+    pairs_mode: str = "noise"
     num_pairs: int = 100
     num_points: int = 1024
     noise_bound: float = 0.02

@@ -309,6 +309,15 @@ def write_summary(results: list[dict], ckpt: str, rnd: int,
             "under the RMSE threshold) is the discriminative column "
             "here, and ransac+picp / ransac+pl lead it.",
             "",
+            "Hypothesis-budget sweep (same day, partial0.5, "
+            "ransac+picp): massive-hypothesis RANSAC is nearly free on "
+            "TPU (batched scoring), and raising num_hypotheses 512 → "
+            "16384 lifts rmse_succ 0.24 → 0.36 (RRE 95.6° → 83.4°) at "
+            "0.024 s/pair batched; 65536 saturates at 0.37 — the "
+            "surviving failures have ~zero true inliers, corroborating "
+            "the matching-starvation diagnosis. Recipe for low-overlap "
+            "data: `evaluate.num_hypotheses=16384` with ransac+picp.",
+            "",
         ]
     mp = by.get("map")
     if mp:

@@ -14,9 +14,22 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent compilation cache: the suite's wall time is dominated by two
+# compile-bound integration oracles (sharded map + dryrun, ~7 min of XLA
+# compilation each on a cold run); caching compiles makes repeat runs
+# minutes instead. Keys hash the HLO, so stale results are impossible;
+# delete .jax_test_cache/ to force cold compiles.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_test_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

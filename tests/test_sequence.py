@@ -92,9 +92,12 @@ def test_map_sequence_sharded_matches_single():
     # gate_rounds=0: the sharded-vs-single equivalence doesn't exercise the
     # prior-gated re-matching, and the extra registration pass + graph
     # solve were doubling this test's compile-dominated runtime.
+    # ransac/nh=64: the equivalence gate is about the sharded solves, not
+    # the edge estimator; the default teaserpp program would add minutes
+    # of n²-compatibility-map compilation per variant.
     kwargs = dict(gt_poses=seq.gt_poses, noise_bound=0.08, loop_stride=4,
                   landmarks_per_edge=16, batch_edges=8, seed=0,
-                  gate_rounds=0)
+                  gate_rounds=0, method="ransac", num_hypotheses=64)
     single = map_sequence(seq.scans, feats, **kwargs)
     mesh = make_mesh()
     sharded = map_sequence(seq.scans, feats, mesh=mesh, **kwargs)

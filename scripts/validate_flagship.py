@@ -315,7 +315,9 @@ def write_summary(results: list[dict], ckpt: str, rnd: int,
             "16384 lifts rmse_succ 0.24 → 0.36 (RRE 95.6° → 83.4°) at "
             "0.024 s/pair batched; 65536 saturates at 0.37 — the "
             "surviving failures have ~zero true inliers, corroborating "
-            "the matching-starvation diagnosis. Recipe for low-overlap "
+            "the matching-starvation diagnosis. On the bimodal partial0.7 "
+            "tier the same recipe lifts ransac+picp to rmse_succ 0.64 / "
+            "RRE 47.7° (from 0.60 / 56.4°). Recipe for low-overlap "
             "data: `evaluate.num_hypotheses=16384` with ransac+picp.",
             "",
         ]

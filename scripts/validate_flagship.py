@@ -32,9 +32,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# partial0.5 / partial0.3 = the hard overlap sweep (VERDICT r4 #4):
-# asymmetric independent half-space crops on top of the z-buffer crop,
-# independent densities — see data/registration_pairs.py.
+# partial0.7/0.5/0.3 = the hard overlap sweep (VERDICT r4 #4): asymmetric
+# quantile-band crops along a common world direction so K IS the
+# source-overlap fraction — see data/registration_pairs.py.
 REG_MODES = ("clean", "noise", "partial", "partial0.7", "partial0.5",
              "partial0.3", "icl_nuim")
 # '+pl' (plane-only polish) included since round 4: on scene scans the
